@@ -1,0 +1,226 @@
+"""Configuration and report structures.
+
+Equivalent of the reference's parameter surface: the ``iparm[128]`` /
+``dparm[64]`` arrays and the ``API_*`` enums declared in
+``src/common/src/api.h`` (reference anchor; see SURVEY.md section 2 row 1),
+with defaults set by ``pastix_initParam`` (``src/sopalin/src/pastix.c``).
+
+Instead of two opaque arrays we expose a typed dataclass; the mapping from
+the reference's slots to fields is documented per-field so a PaStiX user can
+find every knob.  Run-time outputs (the reference's *output* iparm/dparm
+slots such as IPARM_NNZEROS, DPARM_FILL_IN, DPARM_FACT_TIME) live in
+:class:`SolveReport`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class Task(enum.IntEnum):
+    """Pipeline phases — reference API_TASK_* (api.h)."""
+
+    INIT = 0
+    ORDERING = 1  # API_TASK_ORDERING
+    SYMBFACT = 2  # API_TASK_SYMBFACT
+    ANALYSE = 3  # API_TASK_ANALYSE (blend)
+    NUMFACT = 4  # API_TASK_NUMFACT (sopalin)
+    SOLVE = 5  # API_TASK_SOLVE (updown)
+    REFINE = 6  # API_TASK_REFINE (raff)
+    CLEAN = 7  # API_TASK_CLEAN
+
+
+class Factorization(enum.Enum):
+    """Factorization kind — reference API_FACT_* (api.h)."""
+
+    LLT = "llt"  # Cholesky, SPD
+    LDLT = "ldlt"  # symmetric indefinite (static pivoting only)
+    LU = "lu"  # general, static pivoting
+    LDLH = "ldlh"  # Hermitian (complex) — maps onto LDLT with conj
+
+
+class Symmetry(enum.Enum):
+    """Matrix symmetry — reference API_SYM_* (api.h)."""
+
+    SYMMETRIC = "symmetric"  # API_SYM_YES: only lower triangle stored
+    UNSYMMETRIC = "unsymmetric"  # API_SYM_NO: full pattern stored
+    HERMITIAN = "hermitian"  # API_SYM_HER
+
+
+class OrderingMethod(enum.Enum):
+    """Fill-reducing ordering — reference IPARM_ORDERING = API_ORDER_*."""
+
+    ND = "nd"  # nested dissection (the Scotch-equivalent default)
+    AMD = "amd"  # minimum-degree family
+    RCM = "rcm"  # bandwidth reduction (not fill-optimal; for comparison)
+    NATURAL = "natural"  # identity permutation
+    PERSONAL = "personal"  # API_ORDER_PERSONAL: user supplies perm
+    LOAD = "load"  # API_ORDER_LOAD: read a saved ordering
+
+
+class RefinementMethod(enum.Enum):
+    """Iterative refinement — reference IPARM_REFINEMENT = API_RAF_*."""
+
+    SIMPLE = "simple"  # API_RAF_PIVOT: Richardson iteration
+    CG = "cg"  # API_RAF_GRAD: preconditioned conjugate gradient
+    GMRES = "gmres"  # API_RAF_GMRES
+    BICGSTAB = "bicgstab"  # API_RAF_BICGSTAB
+    NONE = "none"
+
+
+class IOStrategy(enum.Enum):
+    """Phase-artifact persistence — reference IPARM_IO_STRATEGY = API_IO_*."""
+
+    NO = "no"
+    SAVE = "save"  # save ordering + symbol after analysis
+    LOAD = "load"  # load them instead of recomputing
+
+
+class Verbosity(enum.IntEnum):
+    """Reference IPARM_VERBOSE = API_VERBOSE_*."""
+
+    NOT = 0  # API_VERBOSE_NOT
+    NO = 1  # API_VERBOSE_NO (phase banners)
+    YES = 2  # API_VERBOSE_YES (stats)
+    CHATTERBOX = 3  # API_VERBOSE_CHATTERBOX
+
+
+@dataclasses.dataclass
+class PastixConfig:
+    """Solver configuration.
+
+    Field → reference slot mapping (api.h names) is given per field.
+    """
+
+    # --- factorization selection ---
+    factorization: Factorization = Factorization.LLT  # IPARM_FACTORIZATION
+    symmetry: Symmetry = Symmetry.SYMMETRIC  # IPARM_SYM
+
+    # --- ordering (phase 1) ---
+    ordering: OrderingMethod = OrderingMethod.ND  # IPARM_ORDERING
+    nd_leaf_size: int = 64  # IPARM_ORDERING_CMIN-analog: stop ND below this
+    nd_max_levels: int = 64
+    amalgamation_level: int = 10  # IPARM_AMALGAMATION_LEVEL (% extra fill)
+
+    # --- analysis / tiling (phase 3; replaces blend's splitpart knobs) ---
+    tile_size: Optional[int] = None  # IPARM_MAX_BLOCKSIZE analog; None=auto
+    min_tile_size: int = 16  # IPARM_MIN_BLOCKSIZE analog
+
+    # --- numeric (phase 4) ---
+    compute_dtype: str = "float32"  # factor storage/compute dtype
+    update_dtype: Optional[str] = None  # bf16 trailing updates when set
+    static_pivoting_threshold: float = 1e-14  # DPARM_EPSILON_MAGN_CTRL
+    # (pivots with |d| < threshold * ||A|| are clamped; count reported
+    #  like IPARM_STATIC_PIVOTING)
+
+    # --- solve / refinement (phases 5-6) ---
+    refinement: RefinementMethod = RefinementMethod.SIMPLE  # IPARM_REFINEMENT
+    refinement_eps: float = 1e-10  # DPARM_EPSILON_REFINEMENT
+    refinement_itermax: int = 250  # IPARM_ITERMAX
+    gmres_restart: int = 30  # IPARM_GMRES_IM
+    residual_dtype: str = "float64"  # residuals accumulated here (host)
+
+    # --- Schur complement ---
+    schur: bool = False  # pastix_setSchurUnknownList analog
+    # (set the unknown list via Pastix.set_schur_unknowns)
+
+    # --- incomplete factorization (ILU(k) preconditioner mode) ---
+    incomplete: bool = False  # IPARM_INCOMPLETE
+    level_of_fill: int = 1  # IPARM_LEVEL_OF_FILL
+
+    # --- io / misc ---
+    io_strategy: IOStrategy = IOStrategy.NO  # IPARM_IO_STRATEGY
+    io_dir: str = "."
+    verbosity: Verbosity = Verbosity.NOT  # IPARM_VERBOSE
+    check_matrix: bool = True  # pastix_checkMatrix on input
+    start_task: Task = Task.ORDERING  # IPARM_START_TASK
+    end_task: Task = Task.REFINE  # IPARM_END_TASK
+    seed: int = 0
+
+    # --- distribution (replaces IPARM_THREAD_NBR / MPI world) ---
+    mesh_shape: Optional[tuple] = None  # e.g. (8,) or (4, 2); None = 1 device
+    mesh_axis_names: tuple = ("tp",)
+
+    # --- out-of-core analog (host-RAM panel offload) ---
+    ooc: bool = False  # IPARM_OOC_LIMIT != 0
+    ooc_limit_mb: int = 0  # IPARM_OOC_LIMIT
+
+    def __post_init__(self):
+        if self.factorization in (Factorization.LLT, Factorization.LDLT):
+            if self.symmetry == Symmetry.UNSYMMETRIC:
+                raise ValueError(
+                    f"{self.factorization} requires a symmetric matrix; "
+                    "use Factorization.LU for unsymmetric input"
+                )
+        if self.factorization == Factorization.LU:
+            # LU works on the symmetrized pattern but full values
+            self.symmetry = Symmetry.UNSYMMETRIC
+        if self.tile_size is not None and self.tile_size < 1:
+            raise ValueError("tile_size must be >= 1")
+
+    def resolve_tile_size(self, n: int) -> int:
+        """Pick the tile size for an n-dof problem.
+
+        MXU-guided: 128 once panels are large enough to fill the systolic
+        array; smaller power-of-two tiles for small problems so padding
+        stays bounded.
+        """
+        if self.tile_size is not None:
+            return self.tile_size
+        if n >= 60_000:
+            return 128
+        if n >= 12_000:
+            return 64
+        if n >= 2_000:
+            return 32
+        return 16
+
+
+@dataclasses.dataclass
+class SolveReport:
+    """Per-run outputs — the reference's *output* iparm/dparm slots.
+
+    Reference anchors: IPARM_NNZEROS, DPARM_FILL_IN, DPARM_FACT_FLOPS,
+    DPARM_ANALYZE_TIME / DPARM_FACT_TIME / DPARM_SOLV_TIME /
+    DPARM_RAFF_TIME, IPARM_STATIC_PIVOTING (api.h; sopalin timers).
+    """
+
+    n: int = 0
+    nnz_a: int = 0
+    nnz_l: int = 0  # IPARM_NNZEROS (scalar, block-padded)
+    nnz_l_exact: int = 0  # exact scalar nnz(L) from the symbolic cost model
+    fill_ratio: float = 0.0  # DPARM_FILL_IN
+    fact_flops: float = 0.0  # DPARM_FACT_FLOPS (useful flops)
+    fact_flops_padded: float = 0.0  # flops incl. tile padding (device work)
+    order_time: float = 0.0
+    symbfact_time: float = 0.0
+    analyze_time: float = 0.0  # DPARM_ANALYZE_TIME
+    fact_time: float = 0.0  # DPARM_FACT_TIME
+    solve_time: float = 0.0  # DPARM_SOLV_TIME
+    refine_time: float = 0.0  # DPARM_RAFF_TIME
+    fact_gflops: float = 0.0  # achieved useful GFLOP/s
+    static_pivots: int = 0  # IPARM_STATIC_PIVOTING
+    refine_iters: int = 0
+    residual: float = 0.0  # final ||b - Ax|| / ||b||
+    tile_size: int = 0
+    n_tiles: int = 0
+    n_levels: int = 0
+    padding_waste: float = 0.0  # padded/useful flop ratio - 1
+    memory_bytes: int = 0  # pastix_getMemoryUsage analog (device pools)
+
+    def summary(self) -> str:
+        lines = [
+            f"n={self.n} nnz(A)={self.nnz_a} nnz(L)={self.nnz_l} "
+            f"(exact {self.nnz_l_exact}, fill {self.fill_ratio:.2f}x)",
+            f"flops={self.fact_flops:.3e} (padded {self.fact_flops_padded:.3e}, "
+            f"waste {100 * self.padding_waste:.1f}%)",
+            f"times: order={self.order_time:.3f}s symb={self.symbfact_time:.3f}s "
+            f"analyze={self.analyze_time:.3f}s fact={self.fact_time:.3f}s "
+            f"solve={self.solve_time:.3f}s refine={self.refine_time:.3f}s",
+            f"fact rate: {self.fact_gflops:.2f} GFLOP/s",
+            f"static pivots: {self.static_pivots}  refine iters: {self.refine_iters}",
+            f"residual ||b-Ax||/||b|| = {self.residual:.3e}",
+        ]
+        return "\n".join(lines)

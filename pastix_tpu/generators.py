@@ -1,0 +1,100 @@
+"""Test-matrix generators.
+
+Equivalent of the reference's built-in Laplacian generator (the ``-lap N``
+driver used by every example as the data-free smoke test; reference anchor
+``src/matrix_drivers``/examples `get_options.c` — SURVEY.md section 2 row
+17 and section 4).  Extended with the 3D Poisson and 3D elasticity
+generators required by the BASELINE.md config ladder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from pastix_tpu.sparse import SparseMatrix
+
+
+def laplacian_1d(n: int, dtype=np.float64) -> SparseMatrix:
+    """Tridiagonal [-1, 2, -1] — the reference's `-lap n` 1D matrix."""
+    d = np.full(n, 2.0, dtype=dtype)
+    e = np.full(n - 1, -1.0, dtype=dtype)
+    A = sp.diags([e, d, e], [-1, 0, 1], format="csc")
+    return SparseMatrix.from_scipy(A, symmetric_storage=True)
+
+
+def laplacian_2d(nx: int, ny: int | None = None, dtype=np.float64) -> SparseMatrix:
+    """2D 5-point Laplacian on an nx-by-ny grid (SPD). BASELINE config 1."""
+    ny = ny or nx
+    Ix, Iy = sp.eye(nx), sp.eye(ny)
+    Tx = sp.diags(
+        [np.full(nx - 1, -1.0), np.full(nx, 2.0), np.full(nx - 1, -1.0)], [-1, 0, 1]
+    )
+    Ty = sp.diags(
+        [np.full(ny - 1, -1.0), np.full(ny, 2.0), np.full(ny - 1, -1.0)], [-1, 0, 1]
+    )
+    A = sp.kron(Iy, Tx) + sp.kron(Ty, Ix)
+    return SparseMatrix.from_scipy(A.astype(dtype).tocsc(), symmetric_storage=True)
+
+
+def poisson_3d(nx: int, ny: int | None = None, nz: int | None = None, dtype=np.float64) -> SparseMatrix:
+    """3D 7-point Poisson on an nx*ny*nz grid (SPD). BASELINE config 2."""
+    ny = ny or nx
+    nz = nz or nx
+
+    def T(m):
+        return sp.diags(
+            [np.full(m - 1, -1.0), np.full(m, 2.0), np.full(m - 1, -1.0)], [-1, 0, 1]
+        )
+
+    Ix, Iy, Iz = sp.eye(nx), sp.eye(ny), sp.eye(nz)
+    A = (
+        sp.kron(Iz, sp.kron(Iy, T(nx)))
+        + sp.kron(Iz, sp.kron(T(ny), Ix))
+        + sp.kron(T(nz), sp.kron(Iy, Ix))
+    )
+    return SparseMatrix.from_scipy(A.astype(dtype).tocsc(), symmetric_storage=True)
+
+
+def elasticity_3d(nx: int, ny: int | None = None, nz: int | None = None, dtype=np.float64) -> SparseMatrix:
+    """3D linear-elasticity-like SPD operator (3 dofs per grid node).
+
+    A vector Laplacian with inter-component coupling — the standard stand-in
+    for the >=10M-dof elasticity ladder rung (BASELINE config 5) when no
+    FEM assembly is at hand; same 27-ish point coupling density per dof row.
+    """
+    ny = ny or nx
+    nz = nz or nx
+    L = poisson_3d(nx, ny, nz, dtype=dtype).to_scipy()
+    # couple the 3 displacement components: block [[4,1,1],[1,4,1],[1,1,4]]/4
+    C = np.array([[4.0, 1.0, 1.0], [1.0, 4.0, 1.0], [1.0, 1.0, 4.0]], dtype=dtype) / 4
+    A = sp.kron(L, sp.csr_matrix(C)).tocsc()
+    return SparseMatrix.from_scipy(A, symmetric_storage=True)
+
+
+def random_spd(n: int, density: float = 0.01, seed: int = 0, dtype=np.float64) -> SparseMatrix:
+    """Random sparse SPD matrix (diagonally dominant) for property tests."""
+    rng = np.random.default_rng(seed)
+    m = max(1, int(density * n * n / 2))
+    r = rng.integers(0, n, m)
+    c = rng.integers(0, n, m)
+    v = rng.standard_normal(m).astype(dtype)
+    A = sp.coo_matrix((v, (r, c)), shape=(n, n))
+    A = (A + A.T).tocsc()
+    # make it SPD: diagonal dominance
+    rowsum = np.abs(A).sum(axis=1).A.ravel()
+    A = A + sp.diags(rowsum + 1.0)
+    return SparseMatrix.from_scipy(A.tocsc().astype(dtype), symmetric_storage=True)
+
+
+def random_unsym(n: int, density: float = 0.01, seed: int = 0, dtype=np.float64) -> SparseMatrix:
+    """Random sparse diagonally-dominant unsymmetric matrix (for LU tests)."""
+    rng = np.random.default_rng(seed)
+    m = max(1, int(density * n * n))
+    r = rng.integers(0, n, m)
+    c = rng.integers(0, n, m)
+    v = rng.standard_normal(m).astype(dtype)
+    A = sp.coo_matrix((v, (r, c)), shape=(n, n)).tocsc()
+    rowsum = np.abs(A).sum(axis=1).A.ravel()
+    A = A + sp.diags(rowsum + 1.0)
+    return SparseMatrix.from_scipy(A.tocsc().astype(dtype), symmetric_storage=False)

@@ -1,0 +1,226 @@
+"""Numeric factorization drivers (reference phase 4: pastix_task_sopalin).
+
+``coefinit`` fills the device tile pools from the permuted CSC values
+(reference ``CoefMatrix_Init``, src/sopalin/src/coefinit.c) and
+``build_factorize_fn`` emits one jitted program per sparsity pattern: an
+unrolled loop over elimination levels, each level = batched DIAG factor +
+batched TRSM + batched GEMM/scatter (replacing sopalin_smp's per-thread
+static task queues — SURVEY.md section 3.3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from pastix_tpu.analyze.layout import SolverLayout
+from pastix_tpu.config import Factorization
+from pastix_tpu.numeric import kernels as K
+
+
+# ---------------------------------------------------------------------------
+# coefinit
+# ---------------------------------------------------------------------------
+
+
+def coefinit(
+    layout: SolverLayout,
+    A_perm: sp.csc_matrix,
+    dtype=np.float32,
+    for_lu: bool = False,
+):
+    """Scatter permuted matrix values into the tile pool(s) (host-side).
+
+    Returns (pool, pool_u) as numpy arrays; pool_u is None unless LU.
+    Padded diagonal entries are set to 1 so the factorization of the
+    embedding stays well-posed (the padded rows solve to x=b trivially).
+    """
+    T, nbc = layout.T, layout.nbc
+    flat_len = layout.npool * T * T
+    pool = np.zeros(flat_len, dtype=dtype)
+    A = sp.coo_matrix(A_perm)
+    i, j, v = A.row.astype(np.int64), A.col.astype(np.int64), A.data
+    if for_lu:
+        lo = (i // T) >= (j // T)  # tile on/below the block diagonal
+        li, lj, lv = i[lo], j[lo], v[lo]
+        p = layout.lookup(li // T, lj // T)
+        np.add.at(pool, p * (T * T) + (li % T) * T + (lj % T), lv)
+        ui, uj, uv = i[~lo], j[~lo], v[~lo]
+        pool_u = np.zeros(flat_len, dtype=dtype)
+        pu = layout.lookup(uj // T, ui // T)  # Ut(I,J) = A(J,I)^T
+        np.add.at(pool_u, pu * (T * T) + (uj % T) * T + (ui % T), uv)
+        pool_u[layout.diag_pad_flat] = 0.0
+        pool_u = pool_u.reshape(layout.pool_shape)
+    else:
+        lo = i >= j  # lower triangle only (symmetric storage)
+        li, lj, lv = i[lo], j[lo], v[lo]
+        p = layout.lookup(li // T, lj // T)
+        np.add.at(pool, p * (T * T) + (li % T) * T + (lj % T), lv)
+        pool_u = None
+    pool[layout.diag_pad_flat] = 1.0
+    return pool.reshape(layout.pool_shape), pool_u
+
+
+# ---------------------------------------------------------------------------
+# factorization programs
+# ---------------------------------------------------------------------------
+
+
+def _sym_lower(tiles: jax.Array) -> jax.Array:
+    """Expand lower-stored diag tiles to full symmetric (LDL^T needs rows)."""
+    lo = jnp.tril(tiles)
+    return lo + jnp.swapaxes(jnp.tril(tiles, -1), -1, -2)
+
+
+@dataclasses.dataclass
+class Factors:
+    """Factorization result handle (device arrays + metadata)."""
+
+    kind: Factorization
+    layout: SolverLayout
+    pool: jax.Array  # L (or combined LU diag) tiles
+    pool_u: Optional[jax.Array]  # Ut tiles (LU only)
+    d: Optional[jax.Array]  # (nbc, T) pivots (LDL^T only)
+    n_static_pivots: int
+
+
+def build_factorize_fn(
+    layout: SolverLayout,
+    kind: Factorization,
+    update_dtype=None,
+):
+    """Emit the jitted factorization program for this pattern.
+
+    Returned callable signatures:
+      LLT : fn(pool)            -> pool'
+      LDLT: fn(pool, eps)       -> (pool', d, npiv)
+      LU  : fn(pool, pool_u, eps) -> (pool', pool_u', npiv)
+    """
+    levels = layout.levels
+    tab = [
+        {
+            "cols": jnp.asarray(lv.cols),
+            "diag": jnp.asarray(lv.diag),
+            "tp": jnp.asarray(lv.trsm_panel),
+            "td": jnp.asarray(lv.trsm_diag),
+            "tc": jnp.asarray(lv.trsm_col),
+            "ga": jnp.asarray(lv.gemm_a),
+            "gb": jnp.asarray(lv.gemm_b),
+            "gd": jnp.asarray(lv.gemm_d),
+            "gk": jnp.asarray(lv.gemm_k),
+            "gnd": jnp.asarray(np.flatnonzero(lv.gemm_nondiag).astype(np.int32)),
+        }
+        for lv in levels
+    ]
+
+    if kind == Factorization.LLT:
+
+        def fact_llt(pool):
+            for t in tab:
+                diag = K.potrf_batch(jnp.tril(pool[t["diag"]]))
+                pool = pool.at[t["diag"]].set(diag)
+                if t["tp"].size:
+                    panels = K.trsm_llt(pool[t["tp"]], pool[t["td"]])
+                    pool = pool.at[t["tp"]].set(panels)
+                if t["ga"].size:
+                    pool = K.gemm_scatter(
+                        pool, t["ga"], t["gb"], t["gd"], update_dtype=update_dtype
+                    )
+            return pool
+
+        return jax.jit(fact_llt)
+
+    if kind in (Factorization.LDLT, Factorization.LDLH):
+
+        def fact_ldlt(pool, eps):
+            nbc, T = layout.nbc, layout.T
+            d_arr = jnp.ones((nbc, T), pool.dtype)
+            npiv = jnp.int32(0)
+            for t in tab:
+                L, d, piv = K.ldlt_batch(_sym_lower(pool[t["diag"]]), eps)
+                pool = pool.at[t["diag"]].set(L)
+                d_arr = d_arr.at[t["cols"]].set(d)
+                npiv = npiv + piv.sum()
+                if t["tp"].size:
+                    panels = K.trsm_ldlt(
+                        pool[t["tp"]], pool[t["td"]], d_arr[t["tc"]]
+                    )
+                    pool = pool.at[t["tp"]].set(panels)
+                if t["ga"].size:
+                    pool = K.gemm_scatter(
+                        pool,
+                        t["ga"],
+                        t["gb"],
+                        t["gd"],
+                        scale_cols=d_arr[t["gk"]],
+                        update_dtype=update_dtype,
+                    )
+            return pool, d_arr, npiv
+
+        return jax.jit(fact_ldlt)
+
+    if kind == Factorization.LU:
+
+        def fact_lu(pool, pool_u, eps):
+            npiv = jnp.int32(0)
+            for t in tab:
+                diag, piv = K.getrf_batch(pool[t["diag"]], eps)
+                pool = pool.at[t["diag"]].set(diag)
+                npiv = npiv + piv.sum()
+                if t["tp"].size:
+                    lp = K.trsm_lu_l(pool[t["tp"]], pool[t["td"]])
+                    up = K.trsm_lu_u(pool_u[t["tp"]], pool[t["td"]])
+                    pool = pool.at[t["tp"]].set(lp)
+                    pool_u = pool_u.at[t["tp"]].set(up)
+                if t["ga"].size:
+                    # A(I,K) -= L(I,J) @ U(J,K) = Lp[ga] @ Ut[gb]^T
+                    pool = K.gemm_scatter_ab(
+                        pool, pool, pool_u, t["ga"], t["gb"], t["gd"],
+                        update_dtype=update_dtype,
+                    )
+                    nd = t["gnd"]
+                    if nd.size:
+                        # Ut(I,K) -= Ut[ga] @ Lp[gb]^T (strictly-upper targets)
+                        pool_u = K.gemm_scatter_ab(
+                            pool_u, pool_u, pool,
+                            t["ga"][nd], t["gb"][nd], t["gd"][nd],
+                            update_dtype=update_dtype,
+                        )
+            return pool, pool_u, npiv
+
+        return jax.jit(fact_lu)
+
+    raise ValueError(f"unsupported factorization: {kind}")
+
+
+def factorize(
+    layout: SolverLayout,
+    A_perm: sp.csc_matrix,
+    kind: Factorization,
+    dtype=np.float32,
+    pivot_threshold: float = 1e-14,
+    update_dtype=None,
+    fact_fn=None,
+) -> Factors:
+    """Convenience host driver: coefinit + run the jitted program."""
+    for_lu = kind == Factorization.LU
+    pool_np, pool_u_np = coefinit(layout, A_perm, dtype=dtype, for_lu=for_lu)
+    anorm = float(abs(A_perm).max()) if A_perm.nnz else 1.0
+    eps = jnp.asarray(pivot_threshold * anorm, dtype=dtype)
+    fn = fact_fn or build_factorize_fn(layout, kind, update_dtype=update_dtype)
+    pool = jnp.asarray(pool_np)
+    if kind == Factorization.LLT:
+        pool = fn(pool)
+        return Factors(kind, layout, pool, None, None, 0)
+    if kind in (Factorization.LDLT, Factorization.LDLH):
+        pool, d, npiv = fn(pool, eps)
+        return Factors(kind, layout, pool, None, d, int(npiv))
+    pool_u = jnp.asarray(pool_u_np)
+    pool, pool_u, npiv = fn(pool, pool_u, eps)
+    return Factors(kind, layout, pool, pool_u, None, int(npiv))

@@ -1,0 +1,185 @@
+"""Batched dense tile kernels (jnp/XLA reference path).
+
+These are the task bodies of the reference's sopalin loop
+(``src/sopalin/src/sopalin3d.c``: DIAG = dense panel factor with static
+pivoting, E1 = panel TRSM, E2 = GEMM + scatter-add — SURVEY.md section 2
+row 9), recast as *batched* operations over uniform T x T tiles so one
+call per elimination level feeds the MXU.  A Pallas fused GEMM+scatter
+path lives in pallas_kernels.py; this module is the portable XLA baseline
+and the numerical reference.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+# ---------------------------------------------------------------------------
+# Diagonal-tile factorizations (the DIAG task)
+# ---------------------------------------------------------------------------
+
+
+def potrf_batch(tiles: jax.Array) -> jax.Array:
+    """Batched lower Cholesky of (B, T, T) SPD tiles."""
+    return lax.linalg.cholesky(tiles, symmetrize_input=False)
+
+
+def _ldlt_single(M: jax.Array, eps: jax.Array):
+    """Unpivoted LDL^T of one (T,T) symmetric tile with static pivoting.
+
+    Returns (L_unit_lower, d, n_clamped). Pivots with |d| < eps are clamped
+    to +/-eps (DPARM_EPSILON_MAGN_CTRL semantics; count reported like
+    IPARM_STATIC_PIVOTING).
+    """
+    T = M.shape[0]
+    ar = lax.broadcasted_iota(jnp.int32, (T,), 0)
+
+    def body(j, carry):
+        M, L, d, npiv = carry
+        piv = M[j, j]
+        small = jnp.abs(piv) < eps
+        pivc = jnp.where(small, jnp.where(piv >= 0, eps, -eps), piv)
+        col = M[:, j] / pivc
+        colm = jnp.where(ar > j, col, 0.0)
+        rowm = jnp.where(ar > j, M[j, :], 0.0)
+        M = M - colm[:, None] * rowm[None, :]
+        Lcol = jnp.where(ar == j, 1.0, colm)
+        L = L.at[:, j].set(Lcol)
+        d = d.at[j].set(pivc)
+        return M, L, d, npiv + small.astype(jnp.int32)
+
+    L0 = jnp.zeros_like(M)
+    d0 = jnp.zeros((T,), M.dtype)
+    M, L, d, npiv = lax.fori_loop(0, T, body, (M, L0, d0, jnp.int32(0)))
+    return L, d, npiv
+
+
+def ldlt_batch(tiles: jax.Array, eps: jax.Array):
+    """Batched LDL^T: (B,T,T) -> (L(B,T,T), d(B,T), npiv(B,))."""
+    return jax.vmap(_ldlt_single, in_axes=(0, None))(tiles, eps)
+
+
+def _getrf_single(M: jax.Array, eps: jax.Array):
+    """Unpivoted LU of one (T,T) tile with static pivoting.
+
+    Returns (combined LU tile: unit L strictly below diag, U on/above;
+    n_clamped).  This is the reference's API_FACT_LU numerics: *no* row
+    exchanges, tiny pivots clamped (sopalin DIAG task for LU).
+    """
+    T = M.shape[0]
+    ar = lax.broadcasted_iota(jnp.int32, (T,), 0)
+
+    def body(j, carry):
+        M, npiv = carry
+        piv = M[j, j]
+        small = jnp.abs(piv) < eps
+        pivc = jnp.where(small, jnp.where(piv >= 0, eps, -eps), piv)
+        M = M.at[j, j].set(pivc)
+        col = M[:, j] / pivc
+        colm = jnp.where(ar > j, col, 0.0)
+        rowm = jnp.where(ar > j, M[j, :], 0.0)
+        M = M - colm[:, None] * rowm[None, :]
+        M = M.at[:, j].set(jnp.where(ar > j, col, M[:, j]))
+        return M, npiv + small.astype(jnp.int32)
+
+    M, npiv = lax.fori_loop(0, T, body, (M, jnp.int32(0)))
+    return M, npiv
+
+
+def getrf_batch(tiles: jax.Array, eps: jax.Array):
+    return jax.vmap(_getrf_single, in_axes=(0, None))(tiles, eps)
+
+
+# ---------------------------------------------------------------------------
+# Panel TRSMs (the E1 task) — all right-side solves on (B, T, T)
+# ---------------------------------------------------------------------------
+
+
+def trsm_llt(panels: jax.Array, diags: jax.Array) -> jax.Array:
+    """X @ Ljj^T = A(I,J)  ->  L(I,J)."""
+    return lax.linalg.triangular_solve(
+        diags, panels, left_side=False, lower=True, transpose_a=True
+    )
+
+
+def trsm_ldlt(panels: jax.Array, diags: jax.Array, d: jax.Array) -> jax.Array:
+    """X @ (L D)^T = A(I,J): unit-L right-solve then column scale by 1/d."""
+    W = lax.linalg.triangular_solve(
+        diags, panels, left_side=False, lower=True, transpose_a=True,
+        unit_diagonal=True,
+    )
+    return W / d[:, None, :]
+
+
+def trsm_lu_l(panels: jax.Array, diags: jax.Array) -> jax.Array:
+    """L(I,J) = A(I,J) @ Ujj^{-1} (right-solve with the upper factor)."""
+    return lax.linalg.triangular_solve(
+        diags, panels, left_side=False, lower=False, transpose_a=False
+    )
+
+
+def trsm_lu_u(panels_t: jax.Array, diags: jax.Array) -> jax.Array:
+    """Ut(I,J) = A(J,I)^T @ Ljj^{-T} (unit-lower right-solve, transposed)."""
+    return lax.linalg.triangular_solve(
+        diags, panels_t, left_side=False, lower=True, transpose_a=True,
+        unit_diagonal=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trailing updates (the E2 task): batched GEMM + scatter-add
+# ---------------------------------------------------------------------------
+
+
+def gemm_scatter(
+    pool: jax.Array,
+    ga: jax.Array,
+    gb: jax.Array,
+    gd: jax.Array,
+    scale_cols: jax.Array | None = None,
+    update_dtype=None,
+) -> jax.Array:
+    """pool[gd] -= pool[ga] @ op(pool[gb])^T, accumulated over duplicates.
+
+    ``scale_cols`` (ng, T): per-triple column scaling (the D of LDL^T).
+    ``update_dtype``: compute the GEMM in this dtype (bf16 trailing updates
+    — the mixed-precision knob from BASELINE config 5).
+    """
+    a = pool[ga]
+    b = pool[gb]
+    if scale_cols is not None:
+        a = a * scale_cols[:, None, :]
+    if update_dtype is not None:
+        a = a.astype(update_dtype)
+        b = b.astype(update_dtype)
+    contrib = jnp.einsum(
+        "bij,bkj->bik", a, b, preferred_element_type=pool.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(pool.dtype)
+    return pool.at[gd].add(-contrib)
+
+
+def gemm_scatter_ab(
+    dst_pool: jax.Array,
+    a_pool: jax.Array,
+    b_pool: jax.Array,
+    ga: jax.Array,
+    gb: jax.Array,
+    gd: jax.Array,
+    update_dtype=None,
+) -> jax.Array:
+    """dst_pool[gd] -= a_pool[ga] @ b_pool[gb]^T (the LU cross-pool update)."""
+    a = a_pool[ga]
+    b = b_pool[gb]
+    if update_dtype is not None:
+        a = a.astype(update_dtype)
+        b = b.astype(update_dtype)
+    contrib = jnp.einsum(
+        "bij,bkj->bik", a, b, preferred_element_type=dst_pool.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(dst_pool.dtype)
+    return dst_pool.at[gd].add(-contrib)

@@ -1,0 +1,508 @@
+"""Top-level solver API (reference: src/sopalin/src/pastix.c).
+
+:class:`Pastix` is the step-by-step driver — each method corresponds to one
+``pastix_task_*`` phase (ORDERING → SYMBFACT → ANALYSE → NUMFACT → SOLVE →
+REFINE), carrying state between phases like ``pastix_data_t`` does.  The
+step-by-step pattern-reuse workflow of the reference's ``step-by-step.c``
+example (re-factorize new values with cached analysis) is
+``factorize(values=...)``.  :func:`spsolve` is the one-call ``pastix()``
+equivalent, and :func:`pastix` mirrors the reference's array-style
+signature for drop-in familiarity.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as sp
+
+from pastix_tpu.config import (
+    Factorization,
+    IOStrategy,
+    PastixConfig,
+    RefinementMethod,
+    SolveReport,
+    Verbosity,
+)
+from pastix_tpu.sparse import SparseMatrix
+from pastix_tpu.order import Order, compute_ordering
+from pastix_tpu.symbolic import compute_symbolic
+from pastix_tpu.analyze import SolverLayout, build_layout
+from pastix_tpu.numeric import factorize as numeric_factorize
+from pastix_tpu.numeric.factorize import build_factorize_fn, coefinit, Factors
+from pastix_tpu import solve as solve_mod
+from pastix_tpu.refine import refine as refine_fn
+
+
+class Pastix:
+    """Sparse direct solver instance (pastix_data_t analog)."""
+
+    def __init__(self, A=None, config: Optional[PastixConfig] = None):
+        self.config = config or PastixConfig()
+        self.report = SolveReport()
+        self.A: Optional[SparseMatrix] = None
+        self.order_: Optional[Order] = None
+        self.symbol_ = None
+        self.layout: Optional[SolverLayout] = None
+        self.factors: Optional[Factors] = None
+        self._A_perm = None  # permuted scipy csc (values, full)
+        self._A_perm64 = None  # fp64 copy for residuals
+        self._fact_fn = None
+        self._solve_fn = None
+        self._fwd_fn = None
+        self._bwd_fn = None
+        self._schur_unknowns: Optional[np.ndarray] = None
+        self._schur_first_bcol: Optional[int] = None
+        self._ext_map: Optional[np.ndarray] = None  # permuted idx -> extended idx
+        self._ext_n: int = 0
+        if A is not None:
+            self.set_matrix(A)
+
+    # ------------------------------------------------------------------
+    # input
+    # ------------------------------------------------------------------
+
+    def set_matrix(self, A) -> "Pastix":
+        """Accepts SparseMatrix, scipy sparse, or dense ndarray."""
+        cfg = self.config
+        if isinstance(A, SparseMatrix):
+            self.A = A
+        else:
+            S = sp.csc_matrix(A)
+            sym = cfg.factorization != Factorization.LU
+            if sym and cfg.check_matrix:
+                # pastix_checkMatrix: symmetric factorizations demand a
+                # numerically symmetric matrix — fail loudly, not garbage
+                D = abs(S - S.T)
+                if D.nnz and D.max() > 1e-12 * abs(S).max():
+                    raise ValueError(
+                        f"matrix is not symmetric (max |A-A^T| = {D.max():.2e}) "
+                        f"but {cfg.factorization} requires symmetry; "
+                        "use Factorization.LU for unsymmetric systems"
+                    )
+            self.A = SparseMatrix.from_scipy(S, symmetric_storage=sym)
+        self.report.n = self.A.n
+        self.report.nnz_a = self.A.nnz
+        return self
+
+    def set_schur_unknowns(self, unknowns) -> "Pastix":
+        """pastix_setSchurUnknownList equivalent: these dofs are ordered
+        last and left unfactored; get_schur() returns their complement."""
+        self._schur_unknowns = np.unique(np.asarray(unknowns, dtype=np.int64))
+        self.config.schur = True
+        return self
+
+    # ------------------------------------------------------------------
+    # phase 1: ordering
+    # ------------------------------------------------------------------
+
+    def order(self, user_perm=None) -> Order:
+        cfg = self.config
+        t0 = time.perf_counter()
+        if cfg.io_strategy == IOStrategy.LOAD:
+            self.order_ = Order.load(os.path.join(cfg.io_dir, "ordername"))
+            self.order_.check()
+            self.report.order_time = time.perf_counter() - t0
+            return self.order_
+        pat = self.A.pattern_sym_scipy()
+        if self._schur_unknowns is not None:
+            self.order_ = self._order_with_schur(pat)
+        else:
+            self.order_ = compute_ordering(pat, cfg, user_perm=user_perm)
+        self.order_.check()
+        if cfg.io_strategy == IOStrategy.SAVE:
+            self.order_.save(os.path.join(cfg.io_dir, "ordername"))
+        self.report.order_time = time.perf_counter() - t0
+        if cfg.verbosity >= Verbosity.NO:
+            print(f"[pastix-tpu] ordering: {self.report.order_time:.3f}s")
+        return self.order_
+
+    def _order_with_schur(self, pat: sp.csc_matrix) -> Order:
+        """Order non-Schur dofs with ND, append Schur dofs last."""
+        n = self.A.n
+        schur = self._schur_unknowns
+        mask = np.zeros(n, dtype=bool)
+        mask[schur] = True
+        rest = np.flatnonzero(~mask)
+        sub = sp.csc_matrix(pat[rest][:, rest])
+        sub_order = compute_ordering(sub, self.config)
+        peritab = np.concatenate([rest[sub_order.peritab], schur])
+        permtab = np.empty(n, dtype=np.int64)
+        permtab[peritab] = np.arange(n, dtype=np.int64)
+        rt = sub_order.rangtab.tolist()
+        if rt[-1] != n:
+            rt.append(n)
+        return Order(permtab, peritab, np.asarray(rt, dtype=np.int64))
+
+    # ------------------------------------------------------------------
+    # phase 2: symbolic
+    # ------------------------------------------------------------------
+
+    def symbfact(self):
+        cfg = self.config
+        if self.order_ is None:
+            self.order()
+        t0 = time.perf_counter()
+        self._build_extended_matrix()
+        pat_perm = self._pat_perm_ext
+        if cfg.io_strategy == IOStrategy.LOAD:
+            from pastix_tpu.symbolic import SymbolMatrix
+
+            self.symbol_ = SymbolMatrix.load(os.path.join(cfg.io_dir, "symbname"))
+            self._scalar_info = {"nnz_l_exact": self.symbol_.nnz_l(), "flops_exact": self.symbol_.fact_flops()}
+        else:
+            self.symbol_, self._scalar_info = compute_symbolic(pat_perm, self.order_, cfg)
+            if cfg.io_strategy == IOStrategy.SAVE:
+                self.symbol_.save(os.path.join(cfg.io_dir, "symbname"))
+        self.report.symbfact_time = time.perf_counter() - t0
+        self.report.nnz_l_exact = int(self._scalar_info["nnz_l_exact"])
+        self.report.fact_flops = float(self._scalar_info["flops_exact"])
+        self.report.fill_ratio = self.report.nnz_l_exact / max(1, self.A.nnz)
+        if cfg.verbosity >= Verbosity.YES:
+            print(
+                f"[pastix-tpu] symbfact: nnz(L)={self.report.nnz_l_exact} "
+                f"fill={self.report.fill_ratio:.2f}x flops={self.report.fact_flops:.3e}"
+            )
+        return self.symbol_
+
+    def _build_extended_matrix(self):
+        """Permute A; with Schur mode, embed so Schur dofs start at a tile
+        boundary (identity-padded gap)."""
+        if self._A_perm is not None:
+            return
+        cfg = self.config
+        n = self.A.n
+        T = cfg.resolve_tile_size(n)
+        A_full = self.A.to_scipy().tocoo()
+        perm = self.order_.permtab
+        if self._schur_unknowns is not None:
+            ns = self._schur_unknowns.size
+            n0 = n - ns
+            n0p = -(-n0 // T) * T
+            ext = np.arange(n, dtype=np.int64)
+            ext[n0:] += n0p - n0  # shift schur dofs past the pad
+            n_ext = n0p + ns
+            self._schur_first_bcol = n0p // T
+        else:
+            ext = np.arange(n, dtype=np.int64)
+            n_ext = n
+            self._schur_first_bcol = None
+        self._ext_map = ext
+        self._ext_n = n_ext
+        self._tile_size = T
+        ri = ext[perm[A_full.row]]
+        ci = ext[perm[A_full.col]]
+        pad_rows = np.setdiff1d(np.arange(n_ext), ext)  # the identity gap
+        ri = np.concatenate([ri, pad_rows])
+        ci = np.concatenate([ci, pad_rows])
+        data = np.concatenate([A_full.data.astype(np.float64), np.ones(pad_rows.size)])
+        Ap = sp.coo_matrix((data, (ri, ci)), shape=(n_ext, n_ext)).tocsc()
+        Ap.sum_duplicates()
+        Ap.sort_indices()
+        self._A_perm64 = Ap
+        self._A_perm = Ap
+        pat = (abs(Ap) + abs(Ap).T).astype(bool).tocsc()
+        pat = (pat + sp.eye(n_ext, dtype=bool, format="csc")).astype(bool).tocsc()
+        self._pat_perm_ext = pat
+
+    # ------------------------------------------------------------------
+    # phase 3: analysis
+    # ------------------------------------------------------------------
+
+    def analyze(self) -> SolverLayout:
+        cfg = self.config
+        if self.symbol_ is None:
+            self.symbfact()
+        t0 = time.perf_counter()
+        self.layout = build_layout(
+            self._pat_perm_ext,
+            self._tile_size,
+            for_lu=cfg.factorization == Factorization.LU,
+            schur_first_bcol=self._schur_first_bcol,
+        )
+        upd = np.dtype(cfg.update_dtype).type if cfg.update_dtype else None
+        self._fact_fn = build_factorize_fn(self.layout, cfg.factorization, update_dtype=upd)
+        self._solve_fn = solve_mod.build_solve_fn(self.layout, cfg.factorization)
+        self.report.analyze_time = time.perf_counter() - t0
+        self.report.tile_size = self.layout.T
+        self.report.n_tiles = self.layout.npool
+        self.report.n_levels = len(self.layout.levels)
+        self.report.nnz_l = self.layout.npool * self.layout.T * self.layout.T
+        self.report.fact_flops_padded = self.layout.padded_flops(
+            "lu" if cfg.factorization == Factorization.LU else "llt"
+        )
+        if self.report.fact_flops > 0:
+            self.report.padding_waste = (
+                self.report.fact_flops_padded / self.report.fact_flops - 1.0
+            )
+        self.report.memory_bytes = self.layout.memory_bytes(
+            dtype_bytes=np.dtype(cfg.compute_dtype).itemsize,
+            lu=cfg.factorization == Factorization.LU,
+        )
+        if cfg.verbosity >= Verbosity.YES:
+            print(
+                f"[pastix-tpu] analyze: T={self.layout.T} tiles={self.layout.npool} "
+                f"levels={self.report.n_levels} "
+                f"padded flops={self.report.fact_flops_padded:.3e} "
+                f"(waste {100 * self.report.padding_waste:.0f}%)"
+            )
+        return self.layout
+
+    # ------------------------------------------------------------------
+    # phase 4: numeric factorization
+    # ------------------------------------------------------------------
+
+    def factorize(self, values: Optional[np.ndarray] = None) -> Factors:
+        """Factorize; pass ``values`` (same pattern, new numbers) to reuse
+        the cached analysis — the reference's step-by-step workflow."""
+        cfg = self.config
+        if self.layout is None:
+            self.analyze()
+        if values is not None:
+            if values.shape[0] != self.A.nnz:
+                raise ValueError("values length must match nnz of the pattern")
+            self.A = SparseMatrix(
+                self.A.n, self.A.colptr, self.A.rowind,
+                np.asarray(values), self.A.symmetric_storage,
+            )
+            self._A_perm = None
+            self._build_extended_matrix_values_only()
+        t0 = time.perf_counter()
+        dtype = np.dtype(cfg.compute_dtype).type
+        self.factors = numeric_factorize(
+            self.layout,
+            self._A_perm,
+            cfg.factorization,
+            dtype=dtype,
+            pivot_threshold=cfg.static_pivoting_threshold,
+            fact_fn=self._fact_fn,
+        )
+        import jax
+
+        jax.block_until_ready(self.factors.pool)
+        self.report.fact_time = time.perf_counter() - t0
+        self.report.static_pivots = self.factors.n_static_pivots
+        self.report.fact_gflops = self.report.fact_flops / max(
+            self.report.fact_time, 1e-12
+        ) / 1e9
+        if cfg.verbosity >= Verbosity.NO:
+            print(
+                f"[pastix-tpu] numfact: {self.report.fact_time:.3f}s "
+                f"({self.report.fact_gflops:.2f} GFLOP/s useful, "
+                f"pivots clamped: {self.report.static_pivots})"
+            )
+        return self.factors
+
+    def _build_extended_matrix_values_only(self):
+        """Re-permute new values with the cached ordering/extension."""
+        A_full = self.A.to_scipy().tocoo()
+        perm = self.order_.permtab
+        ext = self._ext_map
+        n_ext = self._ext_n
+        ri = ext[perm[A_full.row]]
+        ci = ext[perm[A_full.col]]
+        pad_rows = np.setdiff1d(np.arange(n_ext), ext)
+        ri = np.concatenate([ri, pad_rows])
+        ci = np.concatenate([ci, pad_rows])
+        data = np.concatenate([A_full.data.astype(np.float64), np.ones(pad_rows.size)])
+        Ap = sp.coo_matrix((data, (ri, ci)), shape=(n_ext, n_ext)).tocsc()
+        Ap.sum_duplicates()
+        self._A_perm64 = Ap
+        self._A_perm = Ap
+
+    # ------------------------------------------------------------------
+    # phases 5-6: solve + refinement
+    # ------------------------------------------------------------------
+
+    def _perm_rhs(self, b: np.ndarray) -> np.ndarray:
+        """Original-order RHS -> extended permuted order."""
+        b = np.asarray(b)
+        if b.shape[0] != self.A.n:
+            raise ValueError(
+                f"rhs has {b.shape[0]} rows but the matrix is {self.A.n}x{self.A.n}"
+            )
+        one_d = b.ndim == 1
+        bb = b[:, None] if one_d else b
+        out = np.zeros((self._ext_n, bb.shape[1]), dtype=np.float64)
+        out[self._ext_map] = bb[self.order_.peritab]
+        return out[:, 0] if one_d else out
+
+    def _unperm_sol(self, x_ext: np.ndarray) -> np.ndarray:
+        x_ext = np.asarray(x_ext)
+        one_d = x_ext.ndim == 1
+        xx = x_ext[:, None] if one_d else x_ext
+        xp = xx[self._ext_map]  # back to permuted (unpadded) order
+        out = np.empty_like(xp)
+        out[self.order_.peritab] = xp
+        return out[:, 0] if one_d else out
+
+    def _raw_solve_ext(self, b_ext: np.ndarray) -> np.ndarray:
+        """Factored solve in extended-permuted order (no refinement)."""
+        return solve_mod.solve(self.factors, b_ext, solve_fn=self._solve_fn)
+
+    def solve(self, b: np.ndarray, refine: Optional[bool] = None) -> np.ndarray:
+        """Solve A x = b (original ordering); refinement per config."""
+        cfg = self.config
+        if self.factors is None:
+            self.factorize()
+        t0 = time.perf_counter()
+        b_ext = self._perm_rhs(b)
+        x_ext = self._raw_solve_ext(b_ext)
+        self.report.solve_time = time.perf_counter() - t0
+
+        do_refine = cfg.refinement != RefinementMethod.NONE if refine is None else refine
+        if do_refine:
+            t0 = time.perf_counter()
+            Ap = self._A_perm64
+            matvec = lambda v: Ap @ v
+            precond = self._raw_solve_ext
+            if np.asarray(b).ndim == 1:
+                res = refine_fn(
+                    matvec, precond, b_ext, x_ext,
+                    method=cfg.refinement, eps=cfg.refinement_eps,
+                    itermax=cfg.refinement_itermax,
+                    gmres_restart=cfg.gmres_restart,
+                    dtype=np.dtype(cfg.residual_dtype).type,
+                )
+                x_ext = res.x
+                self.report.refine_iters = res.iterations
+                self.report.residual = res.residual
+            else:
+                iters = 0
+                cols = []
+                for k in range(np.asarray(b).shape[1]):
+                    res = refine_fn(
+                        matvec, lambda v: self._raw_solve_ext(v), b_ext[:, k],
+                        x_ext[:, k], method=cfg.refinement,
+                        eps=cfg.refinement_eps, itermax=cfg.refinement_itermax,
+                        gmres_restart=cfg.gmres_restart,
+                        dtype=np.dtype(cfg.residual_dtype).type,
+                    )
+                    cols.append(res.x)
+                    iters = max(iters, res.iterations)
+                x_ext = np.stack(cols, axis=1)
+                self.report.refine_iters = iters
+                self.report.residual = res.residual
+            self.report.refine_time = time.perf_counter() - t0
+        else:
+            r = b_ext - self._A_perm64 @ x_ext
+            self.report.residual = float(
+                np.linalg.norm(r) / max(np.linalg.norm(b_ext), 1e-300)
+            )
+        if cfg.verbosity >= Verbosity.NO:
+            print(
+                f"[pastix-tpu] solve: {self.report.solve_time:.3f}s  "
+                f"refine: {self.report.refine_iters} iters -> "
+                f"residual {self.report.residual:.3e}"
+            )
+        return self._unperm_sol(x_ext)
+
+    # ------------------------------------------------------------------
+    # Schur complement
+    # ------------------------------------------------------------------
+
+    def get_schur(self) -> np.ndarray:
+        """Dense Schur complement of the marked unknowns (pastix_getSchur)."""
+        if self._schur_first_bcol is None:
+            raise ValueError("no Schur unknowns set")
+        if self.factors is None:
+            self.factorize()
+        lay = self.layout
+        T = lay.T
+        ns = self._schur_unknowns.size
+        sb = self._schur_first_bcol
+        nsb = lay.nbc - sb
+        S = np.zeros((nsb * T, nsb * T), dtype=np.float64)
+        pool = np.asarray(self.factors.pool)
+        pool_u = (
+            np.asarray(self.factors.pool_u) if self.factors.pool_u is not None else None
+        )
+        mask = (lay.blk_col >= sb)
+        for p in np.flatnonzero(mask):
+            I, J = lay.blk_row[p] - sb, lay.blk_col[p] - sb
+            tile = pool[p]
+            S[I * T : (I + 1) * T, J * T : (J + 1) * T] = tile
+            if I != J:
+                if pool_u is not None:
+                    S[J * T : (J + 1) * T, I * T : (I + 1) * T] = pool_u[p].T
+                else:
+                    S[J * T : (J + 1) * T, I * T : (I + 1) * T] = tile.T
+            elif pool_u is None:
+                blk = S[I * T : (I + 1) * T, J * T : (J + 1) * T]
+                S[I * T : (I + 1) * T, J * T : (J + 1) * T] = (
+                    np.tril(blk) + np.tril(blk, -1).T
+                )
+        return S[:ns, :ns]
+
+    def solve_with_schur(self, b: np.ndarray, schur_solve=None) -> np.ndarray:
+        """Full solve when Schur mode is on: eliminate, solve the dense
+        Schur system (default: numpy), back-substitute."""
+        if self.factors is None:
+            self.factorize()
+        if self._fwd_fn is None:
+            self._fwd_fn, self._bwd_fn = solve_mod.build_fwd_bwd_fns(
+                self.layout, self.config.factorization
+            )
+        S = self.get_schur()
+        ns = self._schur_unknowns.size
+        b_ext = self._perm_rhs(b)
+        y_ext = np.array(
+            solve_mod.run_fwd(self.factors, b_ext, self._fwd_fn)
+        )
+        sb = self._schur_first_bcol * self.layout.T
+        ys = y_ext[sb : sb + ns]
+        xs = (schur_solve or np.linalg.solve)(S, ys)
+        y_ext[sb : sb + ns] = xs
+        x_ext = solve_mod.run_bwd(self.factors, y_ext, self._bwd_fn)
+        x_ext = np.array(x_ext)
+        x_ext[sb : sb + ns] = xs  # backward must not touch schur rows
+        return self._unperm_sol(x_ext)
+
+    # ------------------------------------------------------------------
+    # cleanup (pastix_task_clean)
+    # ------------------------------------------------------------------
+
+    def clean(self):
+        self.factors = None
+        self.layout = None
+        self.symbol_ = None
+        self.order_ = None
+        self._A_perm = None
+        self._A_perm64 = None
+        self._fact_fn = self._solve_fn = self._fwd_fn = self._bwd_fn = None
+
+
+def spsolve(A, b, config: Optional[PastixConfig] = None, **kw) -> np.ndarray:
+    """One-call solve — the reference's single pastix() invocation."""
+    if config is None:
+        config = PastixConfig(**kw)
+    solver = Pastix(A, config)
+    return solver.solve(b)
+
+
+def pastix(
+    n: int,
+    colptr: np.ndarray,
+    rowind: np.ndarray,
+    values: np.ndarray,
+    b: np.ndarray,
+    config: Optional[PastixConfig] = None,
+    base: int = 0,
+):
+    """Array-style API mirroring the reference's pastix() signature
+    (src/sopalin/src/pastix.c).  Returns (x, report)."""
+    from pastix_tpu.sparse import check_matrix
+
+    config = config or PastixConfig()
+    sym = config.factorization != Factorization.LU
+    A = check_matrix(
+        n, colptr, rowind, values, base=base,
+        symmetric_storage=sym,
+        symmetrize_pattern=not sym,
+    )
+    solver = Pastix(A, config)
+    x = solver.solve(b)
+    return x, solver.report

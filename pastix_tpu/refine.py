@@ -1,0 +1,199 @@
+"""Iterative refinement (reference phase 6: pastix_task_raff).
+
+Richardson ("simple"/API_RAF_PIVOT), preconditioned CG (API_RAF_GRAD),
+GMRES(m) (API_RAF_GMRES) and BiCGStab (API_RAF_BICGSTAB) with the factored
+solve as the preconditioner — reference ``src/sopalin/src/raff.c`` +
+``gmres_smp``/``grad_smp``/``pivot_smp`` (SURVEY.md section 2 row 14, call
+stack 3.5).
+
+Mixed precision is first-class here: factors are fp32/bf16 on TPU while
+residuals are accumulated at ``residual_dtype`` (fp64 on the host — the
+analog of the reference's double-precision refinement guarantee) so
+reference-grade residuals are reached without fp64 hardware.  Stopping:
+``eps`` = DPARM_EPSILON_REFINEMENT, ``itermax`` = IPARM_ITERMAX.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+
+from pastix_tpu.config import RefinementMethod
+
+
+@dataclasses.dataclass
+class RefineResult:
+    x: np.ndarray
+    iterations: int
+    residual: float
+    converged: bool
+    history: list
+
+
+def refine(
+    matvec: Callable[[np.ndarray], np.ndarray],
+    precond: Callable[[np.ndarray], np.ndarray],
+    b: np.ndarray,
+    x0: np.ndarray,
+    method: RefinementMethod = RefinementMethod.SIMPLE,
+    eps: float = 1e-10,
+    itermax: int = 250,
+    gmres_restart: int = 30,
+    dtype=np.float64,
+) -> RefineResult:
+    """Refine x0 so that ||b - A x|| / ||b|| <= eps.
+
+    ``matvec`` applies A at ``dtype`` precision; ``precond`` applies the
+    factored solve (any precision).  All vectors are in the permuted order.
+    """
+    b = np.asarray(b, dtype=dtype)
+    x = np.asarray(x0, dtype=dtype).copy()
+    bnorm = float(np.linalg.norm(b))
+    if bnorm == 0.0:
+        return RefineResult(np.zeros_like(b), 0, 0.0, True, [])
+
+    if method == RefinementMethod.NONE:
+        r = b - matvec(x)
+        res = float(np.linalg.norm(r)) / bnorm
+        return RefineResult(x, 0, res, res <= eps, [res])
+
+    if method == RefinementMethod.SIMPLE:
+        return _richardson(matvec, precond, b, x, bnorm, eps, itermax, dtype)
+    if method == RefinementMethod.CG:
+        return _pcg(matvec, precond, b, x, bnorm, eps, itermax, dtype)
+    if method == RefinementMethod.GMRES:
+        return _gmres(matvec, precond, b, x, bnorm, eps, itermax, gmres_restart, dtype)
+    if method == RefinementMethod.BICGSTAB:
+        return _bicgstab(matvec, precond, b, x, bnorm, eps, itermax, dtype)
+    raise ValueError(f"unknown refinement method {method}")
+
+
+def _richardson(matvec, precond, b, x, bnorm, eps, itermax, dtype):
+    hist = []
+    for it in range(itermax):
+        r = b - matvec(x)
+        res = float(np.linalg.norm(r)) / bnorm
+        hist.append(res)
+        if res <= eps:
+            return RefineResult(x, it, res, True, hist)
+        x = x + np.asarray(precond(r), dtype=dtype)
+    r = b - matvec(x)
+    res = float(np.linalg.norm(r)) / bnorm
+    hist.append(res)
+    return RefineResult(x, itermax, res, res <= eps, hist)
+
+
+def _pcg(matvec, precond, b, x, bnorm, eps, itermax, dtype):
+    hist = []
+    r = b - matvec(x)
+    z = np.asarray(precond(r), dtype=dtype)
+    p = z.copy()
+    rz = float(r @ z)
+    for it in range(itermax):
+        res = float(np.linalg.norm(r)) / bnorm
+        hist.append(res)
+        if res <= eps:
+            return RefineResult(x, it, res, True, hist)
+        Ap = matvec(p)
+        alpha = rz / float(p @ Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = np.asarray(precond(r), dtype=dtype)
+        rz_new = float(r @ z)
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    res = float(np.linalg.norm(r)) / bnorm
+    hist.append(res)
+    return RefineResult(x, itermax, res, res <= eps, hist)
+
+
+def _gmres(matvec, precond, b, x, bnorm, eps, itermax, m, dtype):
+    """Right-preconditioned restarted GMRES(m)."""
+    hist = []
+    it = 0
+    while it < itermax:
+        r = b - matvec(x)
+        beta = float(np.linalg.norm(r))
+        res = beta / bnorm
+        hist.append(res)
+        if res <= eps:
+            return RefineResult(x, it, res, True, hist)
+        V = np.zeros((m + 1, b.shape[0]), dtype=dtype)
+        H = np.zeros((m + 1, m), dtype=dtype)
+        cs = np.zeros(m, dtype=dtype)
+        sn = np.zeros(m, dtype=dtype)
+        g = np.zeros(m + 1, dtype=dtype)
+        V[0] = r / beta
+        g[0] = beta
+        k = 0
+        for k in range(m):
+            w = matvec(np.asarray(precond(V[k]), dtype=dtype))
+            for i in range(k + 1):  # modified Gram-Schmidt
+                H[i, k] = float(w @ V[i])
+                w = w - H[i, k] * V[i]
+            H[k + 1, k] = float(np.linalg.norm(w))
+            if H[k + 1, k] > 1e-300:
+                V[k + 1] = w / H[k + 1, k]
+            # apply previous Givens rotations
+            for i in range(k):
+                t = cs[i] * H[i, k] + sn[i] * H[i + 1, k]
+                H[i + 1, k] = -sn[i] * H[i, k] + cs[i] * H[i + 1, k]
+                H[i, k] = t
+            denom = np.hypot(H[k, k], H[k + 1, k])
+            cs[k] = H[k, k] / denom
+            sn[k] = H[k + 1, k] / denom
+            H[k, k] = denom
+            H[k + 1, k] = 0.0
+            g[k + 1] = -sn[k] * g[k]
+            g[k] = cs[k] * g[k]
+            it += 1
+            res = abs(float(g[k + 1])) / bnorm
+            hist.append(res)
+            if res <= eps or it >= itermax:
+                break
+        kk = k + 1
+        y = np.linalg.solve(H[:kk, :kk], g[:kk]) if kk else np.zeros(0, dtype)
+        dx = V[:kk].T @ y
+        x = x + np.asarray(precond(dx), dtype=dtype)
+        if res <= eps:
+            r = b - matvec(x)
+            res = float(np.linalg.norm(r)) / bnorm
+            return RefineResult(x, it, res, res <= eps, hist)
+    r = b - matvec(x)
+    res = float(np.linalg.norm(r)) / bnorm
+    return RefineResult(x, it, res, res <= eps, hist)
+
+
+def _bicgstab(matvec, precond, b, x, bnorm, eps, itermax, dtype):
+    hist = []
+    r = b - matvec(x)
+    rhat = r.copy()
+    rho = alpha = omega = 1.0
+    v = np.zeros_like(b)
+    p = np.zeros_like(b)
+    for it in range(itermax):
+        res = float(np.linalg.norm(r)) / bnorm
+        hist.append(res)
+        if res <= eps:
+            return RefineResult(x, it, res, True, hist)
+        rho_new = float(rhat @ r)
+        if rho_new == 0.0:
+            break
+        beta = (rho_new / rho) * (alpha / omega) if it else 0.0
+        p = r + beta * (p - omega * v) if it else r.copy()
+        rho = rho_new
+        ph = np.asarray(precond(p), dtype=dtype)
+        v = matvec(ph)
+        alpha = rho / float(rhat @ v)
+        s = r - alpha * v
+        sh = np.asarray(precond(s), dtype=dtype)
+        t = matvec(sh)
+        tt = float(t @ t)
+        omega = float(t @ s) / tt if tt else 0.0
+        x = x + alpha * ph + omega * sh
+        r = s - omega * t
+    res = float(np.linalg.norm(r)) / bnorm
+    hist.append(res)
+    return RefineResult(x, itermax, res, res <= eps, hist)

@@ -1,0 +1,114 @@
+"""Numeric factorization tests: residual exactness in fp64 on all three
+factorization kinds (the reference's residual-threshold acceptance model,
+SURVEY.md §4 point 4)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from pastix_tpu import generators as gen
+from pastix_tpu.config import PastixConfig, Factorization
+from pastix_tpu.order import compute_ordering
+from pastix_tpu.analyze import build_layout
+from pastix_tpu.numeric import factorize
+from pastix_tpu.solve import solve
+
+
+def _pipeline(A, kind, T=16, dtype=np.float64):
+    cfg = PastixConfig(factorization=kind)
+    o = compute_ordering(A.pattern_sym_scipy(), cfg)
+    Ap = A.permuted(o.permtab)
+    layout = build_layout(
+        Ap.pattern_sym_scipy(), T, for_lu=(kind == Factorization.LU)
+    )
+    F = factorize(layout, Ap.to_scipy(), kind, dtype=dtype)
+    return o, layout, F
+
+
+def _residual(A, o, F, rng, nrhs=1):
+    x_true = rng.standard_normal((A.n, nrhs)) if nrhs > 1 else rng.standard_normal(A.n)
+    S = A.to_scipy()
+    b = S @ x_true
+    xp = solve(F, b[o.peritab])
+    x = np.empty_like(xp)
+    x[o.peritab] = xp
+    return np.linalg.norm(b - S @ x) / np.linalg.norm(b)
+
+
+@pytest.mark.parametrize("T", [8, 16, 32])
+def test_llt_exact_fp64(rng, T):
+    A = gen.laplacian_2d(20)
+    o, layout, F = _pipeline(A, Factorization.LLT, T=T)
+    assert _residual(A, o, F, rng) < 1e-13
+
+
+def test_llt_fp32(rng):
+    A = gen.laplacian_2d(24)
+    o, layout, F = _pipeline(A, Factorization.LLT, dtype=np.float32)
+    assert _residual(A, o, F, rng) < 1e-5
+
+
+def test_llt_poisson3d(rng):
+    A = gen.poisson_3d(6)
+    o, layout, F = _pipeline(A, Factorization.LLT)
+    assert _residual(A, o, F, rng) < 1e-13
+
+
+def test_ldlt_spd_and_indefinite(rng):
+    A = gen.laplacian_2d(16)
+    o, layout, F = _pipeline(A, Factorization.LDLT)
+    assert _residual(A, o, F, rng) < 1e-13
+    # indefinite shift
+    from pastix_tpu.sparse import SparseMatrix
+
+    Ai = SparseMatrix.from_scipy(
+        (A.to_scipy() - 1.37 * sp.eye(A.n)).tocsc(), symmetric_storage=True
+    )
+    o2, l2, F2 = _pipeline(Ai, Factorization.LDLT)
+    assert _residual(Ai, o2, F2, rng) < 1e-10
+
+
+def test_lu_unsymmetric(rng):
+    A = gen.random_unsym(300, density=0.02, seed=3)
+    o, layout, F = _pipeline(A, Factorization.LU)
+    assert _residual(A, o, F, rng) < 1e-12
+
+
+def test_multiple_rhs(rng):
+    A = gen.laplacian_2d(12)
+    o, layout, F = _pipeline(A, Factorization.LLT)
+    assert _residual(A, o, F, rng, nrhs=5) < 1e-13
+
+
+def test_static_pivoting_counts(rng):
+    """A matrix with a tiny pivot must be rescued by clamping (the
+    IPARM_STATIC_PIVOTING contract)."""
+    n = 64
+    d = np.ones(n)
+    d[10] = 1e-30  # would break unpivoted LU
+    A_ = sp.diags(d).tocsc() + sp.random(n, n, 0.05, random_state=7, format="csc") * 0.1
+    from pastix_tpu.sparse import SparseMatrix
+
+    A = SparseMatrix.from_scipy(A_, symmetric_storage=False)
+    cfg = PastixConfig(factorization=Factorization.LU)
+    o = compute_ordering(A.pattern_sym_scipy(), cfg)
+    Ap = A.permuted(o.permtab)
+    layout = build_layout(Ap.pattern_sym_scipy(), 16, for_lu=True)
+    F = factorize(layout, Ap.to_scipy(), Factorization.LU,
+                  dtype=np.float64, pivot_threshold=1e-10)
+    assert F.n_static_pivots >= 1
+    # factorization stays finite
+    assert np.isfinite(np.asarray(F.pool)).all()
+
+
+def test_pattern_closure_property():
+    """Tile pattern must be closed under right-looking updates: every gemm
+    target exists in the pool (layout build would KeyError otherwise)."""
+    A = gen.random_spd(200, 0.03, seed=5)
+    o = compute_ordering(A.pattern_sym_scipy())
+    Ap = A.permuted(o.permtab)
+    layout = build_layout(Ap.pattern_sym_scipy(), 16)
+    total = sum(lv.gemm_a.size for lv in layout.levels)
+    assert total > 0
+    for lv in layout.levels:
+        assert np.all(lv.gemm_d < layout.npool)
