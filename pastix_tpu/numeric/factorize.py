@@ -16,6 +16,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import numpy as np
 import scipy.sparse as sp
 
@@ -90,6 +91,36 @@ class Factors:
     n_static_pivots: int
 
 
+def _unroll_tables(lv):
+    return {
+        "cols": jnp.asarray(lv.cols),
+        "diag": jnp.asarray(lv.diag),
+        "tp": jnp.asarray(lv.trsm_panel),
+        "td": jnp.asarray(lv.trsm_diag),
+        "tc": jnp.asarray(lv.trsm_col),
+        "ga": jnp.asarray(lv.gemm_a),
+        "gb": jnp.asarray(lv.gemm_b),
+        "gd": jnp.asarray(lv.gemm_d),
+        "gk": jnp.asarray(lv.gemm_k),
+        "gnd": jnp.asarray(np.flatnonzero(lv.gemm_nondiag).astype(np.int32)),
+    }
+
+
+def _scan_tables(g):
+    return {
+        "cols": jnp.asarray(g.cols),
+        "diag": jnp.asarray(g.diag),
+        "tp": jnp.asarray(g.trsm_panel),
+        "td": jnp.asarray(g.trsm_diag),
+        "tc": jnp.asarray(g.trsm_col),
+        "ga": jnp.asarray(g.gemm_a),
+        "gb": jnp.asarray(g.gemm_b),
+        "gd": jnp.asarray(g.gemm_d),
+        "gk": jnp.asarray(g.gemm_k),
+        "gdo": jnp.asarray(g.gemm_d_offdiag),
+    }
+
+
 def build_factorize_fn(
     layout: SolverLayout,
     kind: Factorization,
@@ -97,69 +128,86 @@ def build_factorize_fn(
 ):
     """Emit the jitted factorization program for this pattern.
 
+    Execution plan from :mod:`pastix_tpu.numeric.grouping`: flop-heavy
+    levels are unrolled (maximal batches); the long tail of small levels
+    (separator chains) runs as lax.scan over stacked padded tables —
+    program size stays bounded as tree depth grows.
+
     Returned callable signatures:
       LLT : fn(pool)            -> pool'
       LDLT: fn(pool, eps)       -> (pool', d, npiv)
       LU  : fn(pool, pool_u, eps) -> (pool', pool_u', npiv)
     """
-    levels = layout.levels
-    tab = [
-        {
-            "cols": jnp.asarray(lv.cols),
-            "diag": jnp.asarray(lv.diag),
-            "tp": jnp.asarray(lv.trsm_panel),
-            "td": jnp.asarray(lv.trsm_diag),
-            "tc": jnp.asarray(lv.trsm_col),
-            "ga": jnp.asarray(lv.gemm_a),
-            "gb": jnp.asarray(lv.gemm_b),
-            "gd": jnp.asarray(lv.gemm_d),
-            "gk": jnp.asarray(lv.gemm_k),
-            "gnd": jnp.asarray(np.flatnonzero(lv.gemm_nondiag).astype(np.int32)),
-        }
-        for lv in levels
+    from pastix_tpu.numeric.grouping import group_levels
+
+    plan = [
+        (tag, _unroll_tables(g) if tag == "unroll" else _scan_tables(g))
+        for tag, g in group_levels(layout.levels, layout.npool, layout.nbc)
     ]
+    nbc, T = layout.nbc, layout.T
 
     if kind == Factorization.LLT:
 
+        def llt_level(pool, t, has_work=True):
+            diag = K.potrf_batch(jnp.tril(pool[t["diag"]]))
+            pool = pool.at[t["diag"]].set(diag)
+            if t["tp"].size:
+                panels = K.trsm_llt(pool[t["tp"]], pool[t["td"]])
+                pool = pool.at[t["tp"]].set(panels)
+            if t["ga"].size:
+                pool = K.gemm_scatter(
+                    pool, t["ga"], t["gb"], t["gd"], update_dtype=update_dtype
+                )
+            return pool
+
         def fact_llt(pool):
-            for t in tab:
-                diag = K.potrf_batch(jnp.tril(pool[t["diag"]]))
-                pool = pool.at[t["diag"]].set(diag)
-                if t["tp"].size:
-                    panels = K.trsm_llt(pool[t["tp"]], pool[t["td"]])
-                    pool = pool.at[t["tp"]].set(panels)
-                if t["ga"].size:
-                    pool = K.gemm_scatter(
-                        pool, t["ga"], t["gb"], t["gd"], update_dtype=update_dtype
-                    )
+            for tag, t in plan:
+                if tag == "unroll":
+                    pool = llt_level(pool, t)
+                else:
+
+                    def body(pool, x):
+                        return llt_level(pool, x), None
+
+                    pool, _ = lax.scan(body, pool, t)
             return pool
 
         return jax.jit(fact_llt)
 
     if kind in (Factorization.LDLT, Factorization.LDLH):
 
+        def ldlt_level(carry, t):
+            pool, d_arr, npiv = carry
+            L, d, piv = K.ldlt_batch(_sym_lower(pool[t["diag"]]), t["eps"])
+            pool = pool.at[t["diag"]].set(L)
+            d_arr = d_arr.at[t["cols"]].set(d)
+            valid = t["cols"] < nbc
+            npiv = npiv + jnp.where(valid, piv, 0).sum(dtype=jnp.int32)
+            if t["tp"].size:
+                panels = K.trsm_ldlt(pool[t["tp"]], pool[t["td"]], d_arr[t["tc"]])
+                pool = pool.at[t["tp"]].set(panels)
+            if t["ga"].size:
+                pool = K.gemm_scatter(
+                    pool, t["ga"], t["gb"], t["gd"],
+                    scale_cols=d_arr[t["gk"]], update_dtype=update_dtype,
+                )
+            return pool, d_arr, npiv
+
         def fact_ldlt(pool, eps):
-            nbc, T = layout.nbc, layout.T
             d_arr = jnp.ones((nbc, T), pool.dtype)
             npiv = jnp.int32(0)
-            for t in tab:
-                L, d, piv = K.ldlt_batch(_sym_lower(pool[t["diag"]]), eps)
-                pool = pool.at[t["diag"]].set(L)
-                d_arr = d_arr.at[t["cols"]].set(d)
-                npiv = npiv + piv.sum()
-                if t["tp"].size:
-                    panels = K.trsm_ldlt(
-                        pool[t["tp"]], pool[t["td"]], d_arr[t["tc"]]
+            for tag, t in plan:
+                if tag == "unroll":
+                    pool, d_arr, npiv = ldlt_level(
+                        (pool, d_arr, npiv), dict(t, eps=eps)
                     )
-                    pool = pool.at[t["tp"]].set(panels)
-                if t["ga"].size:
-                    pool = K.gemm_scatter(
-                        pool,
-                        t["ga"],
-                        t["gb"],
-                        t["gd"],
-                        scale_cols=d_arr[t["gk"]],
-                        update_dtype=update_dtype,
+                else:
+
+                    def body(carry, x):
+                        return ldlt_level(carry, dict(x, eps=eps)), None
+
+                    (pool, d_arr, npiv), _ = lax.scan(
+                        body, (pool, d_arr, npiv), t
                     )
             return pool, d_arr, npiv
 
@@ -167,31 +215,67 @@ def build_factorize_fn(
 
     if kind == Factorization.LU:
 
-        def fact_lu(pool, pool_u, eps):
-            npiv = jnp.int32(0)
-            for t in tab:
-                diag, piv = K.getrf_batch(pool[t["diag"]], eps)
-                pool = pool.at[t["diag"]].set(diag)
-                npiv = npiv + piv.sum()
-                if t["tp"].size:
-                    lp = K.trsm_lu_l(pool[t["tp"]], pool[t["td"]])
-                    up = K.trsm_lu_u(pool_u[t["tp"]], pool[t["td"]])
-                    pool = pool.at[t["tp"]].set(lp)
-                    pool_u = pool_u.at[t["tp"]].set(up)
-                if t["ga"].size:
-                    # A(I,K) -= L(I,J) @ U(J,K) = Lp[ga] @ Ut[gb]^T
-                    pool = K.gemm_scatter_ab(
-                        pool, pool, pool_u, t["ga"], t["gb"], t["gd"],
+        def lu_level_unroll(carry, t, eps):
+            pool, pool_u, npiv = carry
+            diag, piv = K.getrf_batch(pool[t["diag"]], eps)
+            pool = pool.at[t["diag"]].set(diag)
+            npiv = npiv + piv.sum(dtype=jnp.int32)
+            if t["tp"].size:
+                lp = K.trsm_lu_l(pool[t["tp"]], pool[t["td"]])
+                up = K.trsm_lu_u(pool_u[t["tp"]], pool[t["td"]])
+                pool = pool.at[t["tp"]].set(lp)
+                pool_u = pool_u.at[t["tp"]].set(up)
+            if t["ga"].size:
+                # A(I,K) -= L(I,J) @ U(J,K) = Lp[ga] @ Ut[gb]^T
+                pool = K.gemm_scatter_ab(
+                    pool, pool, pool_u, t["ga"], t["gb"], t["gd"],
+                    update_dtype=update_dtype,
+                )
+                nd = t["gnd"]
+                if nd.size:
+                    pool_u = K.gemm_scatter_ab(
+                        pool_u, pool_u, pool,
+                        t["ga"][nd], t["gb"][nd], t["gd"][nd],
                         update_dtype=update_dtype,
                     )
-                    nd = t["gnd"]
-                    if nd.size:
-                        # Ut(I,K) -= Ut[ga] @ Lp[gb]^T (strictly-upper targets)
-                        pool_u = K.gemm_scatter_ab(
-                            pool_u, pool_u, pool,
-                            t["ga"][nd], t["gb"][nd], t["gd"][nd],
-                            update_dtype=update_dtype,
-                        )
+            return pool, pool_u, npiv
+
+        def lu_level_scan(carry, t, eps):
+            pool, pool_u, npiv = carry
+            diag, piv = K.getrf_batch(pool[t["diag"]], eps)
+            pool = pool.at[t["diag"]].set(diag)
+            valid = t["cols"] < nbc
+            npiv = npiv + jnp.where(valid, piv, 0).sum(dtype=jnp.int32)
+            lp = K.trsm_lu_l(pool[t["tp"]], pool[t["td"]])
+            up = K.trsm_lu_u(pool_u[t["tp"]], pool[t["td"]])
+            pool = pool.at[t["tp"]].set(lp)
+            pool_u = pool_u.at[t["tp"]].set(up)
+            pool = K.gemm_scatter_ab(
+                pool, pool, pool_u, t["ga"], t["gb"], t["gd"],
+                update_dtype=update_dtype,
+            )
+            # U-side updates: diagonal targets are pre-masked to OOB (gdo)
+            pool_u = K.gemm_scatter_ab(
+                pool_u, pool_u, pool, t["ga"], t["gb"], t["gdo"],
+                update_dtype=update_dtype,
+            )
+            return pool, pool_u, npiv
+
+        def fact_lu(pool, pool_u, eps):
+            npiv = jnp.int32(0)
+            for tag, t in plan:
+                if tag == "unroll":
+                    pool, pool_u, npiv = lu_level_unroll(
+                        (pool, pool_u, npiv), t, eps
+                    )
+                else:
+
+                    def body(carry, x):
+                        return lu_level_scan(carry, x, eps), None
+
+                    (pool, pool_u, npiv), _ = lax.scan(
+                        body, (pool, pool_u, npiv), t
+                    )
             return pool, pool_u, npiv
 
         return jax.jit(fact_lu)

@@ -1,0 +1,131 @@
+"""Level grouping: unrolled heads + scanned tails.
+
+The level-set schedule has a few flop-heavy levels (the wide bottom of the
+elimination tree) and a long tail of small levels (separator block-column
+chains: one level per tile column on the near-dense top separators).
+Unrolling every level into the jitted program would make compile time and
+program size scale with tree depth (hundreds of levels at 3D scale), so:
+
+  * big levels are unrolled (distinct batch shapes, maximal MXU batches);
+  * consecutive small levels are bucketed by size class and executed with
+    one ``lax.scan`` per bucket over stacked, padded index tables.
+
+Padding uses JAX's documented out-of-bounds semantics: gather indices clamp
+(reads junk that is then discarded), scatter indices drop (padded writes are
+no-ops) — so padded entries need no masks and touch no real tiles.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from pastix_tpu.analyze.layout import LevelTables
+
+# pool-indexed fields padded with an OOB pool index; col-indexed with OOB nbc
+_POOL_FIELDS = ("diag", "trsm_panel", "trsm_diag", "gemm_a", "gemm_b", "gemm_d")
+_COL_FIELDS = ("cols", "trsm_row", "trsm_col", "gemm_k")
+
+
+@dataclasses.dataclass
+class ScanGroup:
+    """Stacked tables for a run of same-bucket levels: each field is
+    (n_levels, padded_len) int32."""
+
+    n_levels: int
+    cols: np.ndarray
+    diag: np.ndarray
+    trsm_panel: np.ndarray
+    trsm_diag: np.ndarray
+    trsm_row: np.ndarray
+    trsm_col: np.ndarray
+    gemm_a: np.ndarray
+    gemm_b: np.ndarray
+    gemm_d: np.ndarray
+    gemm_k: np.ndarray
+    gemm_d_offdiag: np.ndarray  # gemm_d with diagonal targets sent OOB (LU)
+
+
+def _pad_to(a: np.ndarray, m: int, fill: int) -> np.ndarray:
+    out = np.full(m, fill, dtype=np.int32)
+    out[: a.size] = a
+    return out
+
+
+def _stack_levels(levels: list[LevelTables], npool: int, nbc: int) -> ScanGroup:
+    md = max(lv.diag.size for lv in levels)
+    mt = max((lv.trsm_panel.size for lv in levels), default=0)
+    mg = max((lv.gemm_a.size for lv in levels), default=0)
+    mt = max(mt, 1)
+    mg = max(mg, 1)
+    md = max(md, 1)
+
+    def stack(field, m, fill):
+        return np.stack([_pad_to(getattr(lv, field), m, fill) for lv in levels])
+
+    gd_off = []
+    for lv in levels:
+        g = _pad_to(lv.gemm_d, mg, npool)
+        nd = np.zeros(mg, dtype=bool)
+        nd[: lv.gemm_nondiag.size] = lv.gemm_nondiag
+        gd_off.append(np.where(nd, g, npool).astype(np.int32))
+
+    return ScanGroup(
+        n_levels=len(levels),
+        cols=stack("cols", md, nbc),
+        diag=stack("diag", md, npool),
+        trsm_panel=stack("trsm_panel", mt, npool),
+        trsm_diag=stack("trsm_diag", mt, npool),
+        trsm_row=stack("trsm_row", mt, nbc),
+        trsm_col=stack("trsm_col", mt, nbc),
+        gemm_a=stack("gemm_a", mg, npool),
+        gemm_b=stack("gemm_b", mg, npool),
+        gemm_d=stack("gemm_d", mg, npool),
+        gemm_k=stack("gemm_k", mg, nbc),
+        gemm_d_offdiag=np.stack(gd_off),
+    )
+
+
+def group_levels(
+    levels: list[LevelTables],
+    npool: int,
+    nbc: int,
+    unroll_gemm: int = 16384,
+    unroll_diag: int = 512,
+    bucket_base: int = 128,
+):
+    """Return an execution plan: list of ("unroll", LevelTables) and
+    ("scan", ScanGroup) entries, preserving level order."""
+    plan = []
+    run: list[LevelTables] = []
+    run_bucket = None
+
+    def bucket_of(lv: LevelTables) -> int:
+        size = max(int(lv.gemm_a.size), int(lv.trsm_panel.size), 1)
+        b = 0
+        while size > bucket_base << (2 * b):  # buckets grow 4x
+            b += 1
+        return b
+
+    def flush():
+        nonlocal run, run_bucket
+        if run:
+            if len(run) == 1:
+                plan.append(("unroll", run[0]))
+            else:
+                plan.append(("scan", _stack_levels(run, npool, nbc)))
+        run, run_bucket = [], None
+
+    for lv in levels:
+        if lv.gemm_a.size >= unroll_gemm or lv.diag.size >= unroll_diag:
+            flush()
+            plan.append(("unroll", lv))
+            continue
+        b = bucket_of(lv)
+        if run_bucket is not None and b != run_bucket:
+            flush()
+        run.append(lv)
+        run_bucket = b
+    flush()
+    return plan

@@ -1,0 +1,123 @@
+"""Sharded factorization and solve via shard_map + collectives.
+
+Replaces the reference's MPI fan-in exchange (sopalin comm,
+``src/sopalin/src/sopalin3d.c`` Isend/Irecv of FanInTarget buffers —
+SURVEY.md §2 row 10): every level's trailing-update GEMM batch is
+partitioned over the ``tp`` mesh axis, each device scatter-adds its partial
+contributions into a compact per-level buffer of *touched* tiles, and one
+``psum`` per level accumulates them — the all-reduce rides ICI and is the
+exact algebraic equivalent of fan-in aggregation.
+
+Panel factorizations/TRSMs are replicated across ``tp`` for now (they are
+the critical path, a small fraction of flops); a 2D-sharded panel path for
+the huge top separators is the planned M6 follow-up (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from pastix_tpu.analyze.layout import SolverLayout
+from pastix_tpu.numeric import kernels as K
+
+
+def _shard_tables(layout: SolverLayout, ndev: int):
+    """Per-level: device-partitioned gemm triples + touched-tile lists."""
+    tabs = []
+    for lv in layout.levels:
+        ng = lv.gemm_a.size
+        touched, pos = (
+            np.unique(lv.gemm_d, return_inverse=True)
+            if ng
+            else (np.empty(0, np.int64), np.empty(0, np.int64))
+        )
+        per = -(-max(ng, 1) // ndev)
+        pad = per * ndev - ng
+        # padded triples write to a sacrificial slot (len(touched))
+        ga = np.concatenate([lv.gemm_a, np.zeros(pad, np.int32)])
+        gb = np.concatenate([lv.gemm_b, np.zeros(pad, np.int32)])
+        gp = np.concatenate(
+            [pos.astype(np.int32), np.full(pad, len(touched), np.int32)]
+        )
+        tabs.append(
+            {
+                "diag": jnp.asarray(lv.diag),
+                "tp": jnp.asarray(lv.trsm_panel),
+                "td": jnp.asarray(lv.trsm_diag),
+                "ga": jnp.asarray(ga.reshape(ndev, per)),
+                "gb": jnp.asarray(gb.reshape(ndev, per)),
+                "gp": jnp.asarray(gp.reshape(ndev, per)),
+                "touched": jnp.asarray(touched.astype(np.int32)),
+                "ntouch": int(len(touched)),
+            }
+        )
+    return tabs
+
+
+def build_sharded_factorize_llt(
+    layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp"
+):
+    """Jitted multi-device LL^T factorization (pool replicated, GEMM work
+    sharded over ``tp_axis``, per-level psum fan-in)."""
+    ndev = mesh.shape[tp_axis]
+    tabs = _shard_tables(layout, ndev)
+    T = layout.T
+    other_axes = tuple(a for a in mesh.axis_names if a != tp_axis)
+
+    def fact_local(pool):
+        me = lax.axis_index(tp_axis)
+        for t in tabs:
+            diag = K.potrf_batch(jnp.tril(pool[t["diag"]]))
+            pool = pool.at[t["diag"]].set(diag)
+            if t["tp"].size:
+                panels = K.trsm_llt(pool[t["tp"]], pool[t["td"]])
+                pool = pool.at[t["tp"]].set(panels)
+            if t["ntouch"]:
+                ga = t["ga"][me]
+                gb = t["gb"][me]
+                gp = t["gp"][me]
+                a = pool[ga]
+                b = pool[gb]
+                contrib = jnp.einsum(
+                    "bij,bkj->bik", a, b,
+                    preferred_element_type=pool.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                acc = jnp.zeros((t["ntouch"] + 1, T, T), pool.dtype)
+                acc = acc.at[gp].add(contrib)
+                acc = lax.psum(acc, tp_axis)  # fan-in aggregation over ICI
+                pool = pool.at[t["touched"]].add(-acc[: t["ntouch"]])
+        return pool
+
+    fn = jax.shard_map(
+        fact_local,
+        mesh=mesh,
+        in_specs=P(),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def build_sharded_solve(layout: SolverLayout, mesh: Mesh, dp_axis: str = "dp"):
+    """Jitted multi-device LL^T solve: RHS batch sharded over ``dp_axis``
+    (independent systems — the data-parallel axis), factor replicated."""
+    from pastix_tpu.solve import build_solve_fn
+    from pastix_tpu.config import Factorization
+
+    inner = build_solve_fn(layout, Factorization.LLT)
+
+    fn = jax.shard_map(
+        lambda pool, b: inner(pool, b),
+        mesh=mesh,
+        in_specs=(P(), P(None, None, dp_axis)),
+        out_specs=P(None, None, dp_axis),
+        check_vma=False,
+    )
+    return jax.jit(fn)

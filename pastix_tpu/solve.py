@@ -4,7 +4,9 @@ Level-batched forward/backward substitution over the same tile pool
 (reference ``src/sopalin/src/updo.c`` — SURVEY.md section 2 row 13 and
 call stack 3.4).  Where the reference exchanges RHS segments by MPI per
 elimination level, here each level is one batched (T,T)x(T,R) matmul plus
-a scatter-add — the whole sweep is a single jitted program.
+a scatter-add — the whole sweep is a single jitted program.  Like the
+factorization, heavy levels are unrolled and the long tail of small levels
+runs as lax.scan over padded tables (backward sweeps scan in reverse).
 """
 
 from __future__ import annotations
@@ -12,117 +14,129 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from pastix_tpu.analyze.layout import SolverLayout
 from pastix_tpu.config import Factorization
 from pastix_tpu.numeric.factorize import Factors
-from jax import lax
+
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _tables(layout: SolverLayout):
-    return [
-        {
+def _solve_plan(layout: SolverLayout):
+    """Unroll/scan plan with only the solve-relevant fields."""
+    from pastix_tpu.numeric.grouping import group_levels
+
+    def conv_unroll(lv):
+        return {
             "cols": jnp.asarray(lv.cols),
             "diag": jnp.asarray(lv.diag),
             "tp": jnp.asarray(lv.trsm_panel),
             "tr": jnp.asarray(lv.trsm_row),
             "tc": jnp.asarray(lv.trsm_col),
         }
-        for lv in layout.levels
+
+    def conv_scan(g):
+        return {
+            "cols": jnp.asarray(g.cols),
+            "diag": jnp.asarray(g.diag),
+            "tp": jnp.asarray(g.trsm_panel),
+            "tr": jnp.asarray(g.trsm_row),
+            "tc": jnp.asarray(g.trsm_col),
+        }
+
+    return [
+        (tag, conv_unroll(g) if tag == "unroll" else conv_scan(g))
+        for tag, g in group_levels(layout.levels, layout.npool, layout.nbc)
     ]
 
 
+def _fwd_level(pool, y, t, unit):
+    sol = lax.linalg.triangular_solve(
+        pool[t["diag"]], y[t["cols"]],
+        left_side=True, lower=True, unit_diagonal=unit,
+    )
+    y = y.at[t["cols"]].set(sol)
+    if t["tp"].size:
+        contrib = jnp.einsum(
+            "bij,bjr->bir", pool[t["tp"]], y[t["tc"]],
+            preferred_element_type=y.dtype, precision=_HI,
+        )
+        y = y.at[t["tr"]].add(-contrib)
+    return y
+
+
+def _bwd_level(pool_contrib, pool_diag, x, t, lower_t, unit):
+    """One backward level: gather transposed contributions, then diag solve.
+
+    pool_contrib supplies the off-diagonal tiles (L for symmetric kinds,
+    Ut for LU); pool_diag the diagonal tiles.
+    """
+    if t["tp"].size:
+        contrib = jnp.einsum(
+            "bij,bir->bjr", pool_contrib[t["tp"]], x[t["tr"]],
+            preferred_element_type=x.dtype, precision=_HI,
+        )
+        x = x.at[t["tc"]].add(-contrib)
+    sol = lax.linalg.triangular_solve(
+        pool_diag[t["diag"]], x[t["cols"]],
+        left_side=True, lower=lower_t, transpose_a=lower_t,
+        unit_diagonal=unit,
+    )
+    x = x.at[t["cols"]].set(sol)
+    return x
+
+
+def _run_fwd(plan, pool, y, unit):
+    for tag, t in plan:
+        if tag == "unroll":
+            y = _fwd_level(pool, y, t, unit)
+        else:
+            y, _ = lax.scan(lambda c, x: (_fwd_level(pool, c, x, unit), None), y, t)
+    return y
+
+
+def _run_bwd(plan, pool_contrib, pool_diag, x, lower_t, unit):
+    for tag, t in reversed(plan):
+        if tag == "unroll":
+            x = _bwd_level(pool_contrib, pool_diag, x, t, lower_t, unit)
+        else:
+            x, _ = lax.scan(
+                lambda c, xs: (_bwd_level(pool_contrib, pool_diag, c, xs, lower_t, unit), None),
+                x, t, reverse=True,
+            )
+    return x
+
+
 def build_solve_fn(layout: SolverLayout, kind: Factorization):
-    """Jitted solve program: (pool[, pool_u][, d], y(nbc,T,R)) -> x.
+    """Jitted solve program.
 
     Signatures: LLT fn(pool, b); LDLT fn(pool, d, b); LU fn(pool, pool_u, b).
     """
-    tab = _tables(layout)
-
-    def fwd(pool, y, unit):
-        for t in tab:
-            sol = lax.linalg.triangular_solve(
-                pool[t["diag"]], y[t["cols"]],
-                left_side=True, lower=True, unit_diagonal=unit,
-            )
-            y = y.at[t["cols"]].set(sol)
-            if t["tp"].size:
-                contrib = jnp.einsum(
-                    "bij,bjr->bir", pool[t["tp"]], y[t["tc"]],
-                    preferred_element_type=y.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                y = y.at[t["tr"]].add(-contrib)
-        return y
-
-    def bwd_llt(pool, x):
-        for t in reversed(tab):
-            if t["tp"].size:
-                contrib = jnp.einsum(
-                    "bij,bir->bjr", pool[t["tp"]], x[t["tr"]],
-                    preferred_element_type=x.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                x = x.at[t["tc"]].add(-contrib)
-            sol = lax.linalg.triangular_solve(
-                pool[t["diag"]], x[t["cols"]],
-                left_side=True, lower=True, transpose_a=True,
-            )
-            x = x.at[t["cols"]].set(sol)
-        return x
-
-    def bwd_unit_lt(pool, x):
-        for t in reversed(tab):
-            if t["tp"].size:
-                contrib = jnp.einsum(
-                    "bij,bir->bjr", pool[t["tp"]], x[t["tr"]],
-                    preferred_element_type=x.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                x = x.at[t["tc"]].add(-contrib)
-            sol = lax.linalg.triangular_solve(
-                pool[t["diag"]], x[t["cols"]],
-                left_side=True, lower=True, transpose_a=True, unit_diagonal=True,
-            )
-            x = x.at[t["cols"]].set(sol)
-        return x
+    plan = _solve_plan(layout)
 
     if kind == Factorization.LLT:
 
         def solve_llt(pool, b):
-            return bwd_llt(pool, fwd(pool, b, unit=False))
+            y = _run_fwd(plan, pool, b, unit=False)
+            return _run_bwd(plan, pool, pool, y, lower_t=True, unit=False)
 
         return jax.jit(solve_llt)
 
     if kind in (Factorization.LDLT, Factorization.LDLH):
 
         def solve_ldlt(pool, d, b):
-            y = fwd(pool, b, unit=True)
+            y = _run_fwd(plan, pool, b, unit=True)
             y = y / d[..., None]
-            return bwd_unit_lt(pool, y)
+            return _run_bwd(plan, pool, pool, y, lower_t=True, unit=True)
 
         return jax.jit(solve_ldlt)
 
     if kind == Factorization.LU:
 
         def solve_lu(pool, pool_u, b):
-            y = fwd(pool, b, unit=True)  # L is unit lower in combined tiles
-            # backward with U: contributions via Ut tiles, diag via upper part
-            x = y
-            for t in reversed(tab):
-                if t["tp"].size:
-                    contrib = jnp.einsum(
-                        "bij,bir->bjr", pool_u[t["tp"]], x[t["tr"]],
-                        preferred_element_type=x.dtype,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    x = x.at[t["tc"]].add(-contrib)
-                sol = lax.linalg.triangular_solve(
-                    pool[t["diag"]], x[t["cols"]],
-                    left_side=True, lower=False,
-                )
-                x = x.at[t["cols"]].set(sol)
-            return x
+            y = _run_fwd(plan, pool, b, unit=True)
+            return _run_bwd(plan, pool_u, pool, y, lower_t=False, unit=False)
 
         return jax.jit(solve_lu)
 
@@ -132,71 +146,29 @@ def build_solve_fn(layout: SolverLayout, kind: Factorization):
 def build_fwd_bwd_fns(layout: SolverLayout, kind: Factorization):
     """Split jitted forward / backward sweeps (used by the Schur path:
     eliminate, dense-solve the Schur system, back-substitute)."""
-    tab = _tables(layout)
-
-    def fwd_generic(pool, y, unit):
-        for t in tab:
-            sol = lax.linalg.triangular_solve(
-                pool[t["diag"]], y[t["cols"]],
-                left_side=True, lower=True, unit_diagonal=unit,
-            )
-            y = y.at[t["cols"]].set(sol)
-            if t["tp"].size:
-                contrib = jnp.einsum(
-                    "bij,bjr->bir", pool[t["tp"]], y[t["tc"]],
-                    preferred_element_type=y.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                y = y.at[t["tr"]].add(-contrib)
-        return y
-
-    def bwd_generic(pool, x, transpose_lower, unit):
-        for t in reversed(tab):
-            if t["tp"].size:
-                contrib = jnp.einsum(
-                    "bij,bir->bjr", pool[t["tp"]], x[t["tr"]],
-                    preferred_element_type=x.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                x = x.at[t["tc"]].add(-contrib)
-            sol = lax.linalg.triangular_solve(
-                pool[t["diag"]], x[t["cols"]],
-                left_side=True, lower=transpose_lower,
-                transpose_a=transpose_lower, unit_diagonal=unit,
-            )
-            x = x.at[t["cols"]].set(sol)
-        return x
+    plan = _solve_plan(layout)
 
     if kind == Factorization.LLT:
-        fwd = jax.jit(lambda pool, b: fwd_generic(pool, b, False))
-        bwd = jax.jit(lambda pool, y: bwd_generic(pool, y, True, False))
+        fwd = jax.jit(lambda pool, b: _run_fwd(plan, pool, b, unit=False))
+        bwd = jax.jit(
+            lambda pool, y: _run_bwd(plan, pool, pool, y, lower_t=True, unit=False)
+        )
     elif kind in (Factorization.LDLT, Factorization.LDLH):
-        fwd = jax.jit(lambda pool, d, b: fwd_generic(pool, b, True) / d[..., None])
-        bwd = jax.jit(lambda pool, d, y: bwd_generic(pool, y, True, True))
+        fwd = jax.jit(
+            lambda pool, d, b: _run_fwd(plan, pool, b, unit=True) / d[..., None]
+        )
+        bwd = jax.jit(
+            lambda pool, d, y: _run_bwd(plan, pool, pool, y, lower_t=True, unit=True)
+        )
     else:  # LU
-
-        def fwd_lu(pool, pool_u, b):
-            return fwd_generic(pool, b, True)
-
-        def bwd_lu(pool, pool_u, y):
-            x = y
-            for t in reversed(tab):
-                if t["tp"].size:
-                    contrib = jnp.einsum(
-                        "bij,bir->bjr", pool_u[t["tp"]], x[t["tr"]],
-                        preferred_element_type=x.dtype,
-                        precision=jax.lax.Precision.HIGHEST,
-                    )
-                    x = x.at[t["tc"]].add(-contrib)
-                sol = lax.linalg.triangular_solve(
-                    pool[t["diag"]], x[t["cols"]],
-                    left_side=True, lower=False,
-                )
-                x = x.at[t["cols"]].set(sol)
-            return x
-
-        fwd = jax.jit(fwd_lu)
-        bwd = jax.jit(bwd_lu)
+        fwd = jax.jit(
+            lambda pool, pool_u, b: _run_fwd(plan, pool, b, unit=True)
+        )
+        bwd = jax.jit(
+            lambda pool, pool_u, y: _run_bwd(
+                plan, pool_u, pool, y, lower_t=False, unit=False
+            )
+        )
     return fwd, bwd
 
 
