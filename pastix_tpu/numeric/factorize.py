@@ -91,8 +91,8 @@ class Factors:
     n_static_pivots: int
 
 
-def _unroll_tables(lv):
-    return {
+def _unroll_tables(lv, use_pallas: bool = False):
+    t = {
         "cols": jnp.asarray(lv.cols),
         "diag": jnp.asarray(lv.diag),
         "tp": jnp.asarray(lv.trsm_panel),
@@ -104,6 +104,20 @@ def _unroll_tables(lv):
         "gk": jnp.asarray(lv.gemm_k),
         "gnd": jnp.asarray(np.flatnonzero(lv.gemm_nondiag).astype(np.int32)),
     }
+    if use_pallas and lv.gemm_a.size:
+        from pastix_tpu.numeric.pallas_kernels import sort_triples
+
+        sga, sgb, sgd, first, last, sgk = sort_triples(
+            lv.gemm_a, lv.gemm_b, lv.gemm_d, lv.gemm_k
+        )
+        t["p_full"] = tuple(
+            jnp.asarray(x) for x in (sga, sgb, sgd, first, last, sgk)
+        )
+        nd = lv.gemm_nondiag
+        if nd.any():
+            s = sort_triples(lv.gemm_a[nd], lv.gemm_b[nd], lv.gemm_d[nd])
+            t["p_nd"] = tuple(jnp.asarray(x) for x in s)
+    return t
 
 
 def _scan_tables(g):
@@ -125,6 +139,7 @@ def build_factorize_fn(
     layout: SolverLayout,
     kind: Factorization,
     update_dtype=None,
+    use_pallas: Optional[bool] = None,
 ):
     """Emit the jitted factorization program for this pattern.
 
@@ -133,6 +148,10 @@ def build_factorize_fn(
     (separator chains) runs as lax.scan over stacked padded tables —
     program size stays bounded as tree depth grows.
 
+    ``use_pallas`` (default: auto, on when the backend is TPU) routes the
+    unrolled levels' trailing updates through the fused Pallas
+    gather-GEMM-scatter kernel; scan tails keep the XLA path.
+
     Returned callable signatures:
       LLT : fn(pool)            -> pool'
       LDLT: fn(pool, eps)       -> (pool', d, npiv)
@@ -140,8 +159,16 @@ def build_factorize_fn(
     """
     from pastix_tpu.numeric.grouping import group_levels
 
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from pastix_tpu.numeric.pallas_kernels import gemm_scatter_fused
+
     plan = [
-        (tag, _unroll_tables(g) if tag == "unroll" else _scan_tables(g))
+        (
+            tag,
+            _unroll_tables(g, use_pallas) if tag == "unroll" else _scan_tables(g),
+        )
         for tag, g in group_levels(layout.levels, layout.npool, layout.nbc)
     ]
     nbc, T = layout.nbc, layout.T
@@ -154,7 +181,12 @@ def build_factorize_fn(
             if t["tp"].size:
                 panels = K.trsm_llt(pool[t["tp"]], pool[t["td"]])
                 pool = pool.at[t["tp"]].set(panels)
-            if t["ga"].size:
+            if "p_full" in t:
+                sga, sgb, sgd, first, last, _ = t["p_full"]
+                pool = gemm_scatter_fused(
+                    pool, sga, sgb, sgd, first, last, update_dtype=update_dtype
+                )
+            elif t["ga"].size:
                 pool = K.gemm_scatter(
                     pool, t["ga"], t["gb"], t["gd"], update_dtype=update_dtype
                 )
@@ -186,7 +218,13 @@ def build_factorize_fn(
             if t["tp"].size:
                 panels = K.trsm_ldlt(pool[t["tp"]], pool[t["td"]], d_arr[t["tc"]])
                 pool = pool.at[t["tp"]].set(panels)
-            if t["ga"].size:
+            if "p_full" in t:
+                sga, sgb, sgd, first, last, sgk = t["p_full"]
+                pool = gemm_scatter_fused(
+                    pool, sga, sgb, sgd, first, last,
+                    gk=sgk, d=d_arr, update_dtype=update_dtype,
+                )
+            elif t["ga"].size:
                 pool = K.gemm_scatter(
                     pool, t["ga"], t["gb"], t["gd"],
                     scale_cols=d_arr[t["gk"]], update_dtype=update_dtype,
@@ -225,7 +263,20 @@ def build_factorize_fn(
                 up = K.trsm_lu_u(pool_u[t["tp"]], pool[t["td"]])
                 pool = pool.at[t["tp"]].set(lp)
                 pool_u = pool_u.at[t["tp"]].set(up)
-            if t["ga"].size:
+            if "p_full" in t:
+                # A(I,K) -= L(I,J) @ U(J,K): fused kernel, b from the U pool
+                sga, sgb, sgd, first, last, _ = t["p_full"]
+                pool = gemm_scatter_fused(
+                    pool, sga, sgb, sgd, first, last,
+                    src_pool=pool_u, update_dtype=update_dtype,
+                )
+                if "p_nd" in t:
+                    sga, sgb, sgd, first, last = t["p_nd"]
+                    pool_u = gemm_scatter_fused(
+                        pool_u, sga, sgb, sgd, first, last,
+                        src_pool=pool, update_dtype=update_dtype,
+                    )
+            elif t["ga"].size:
                 # A(I,K) -= L(I,J) @ U(J,K) = Lp[ga] @ Ut[gb]^T
                 pool = K.gemm_scatter_ab(
                     pool, pool, pool_u, t["ga"], t["gb"], t["gd"],

@@ -1,0 +1,181 @@
+"""Pallas TPU kernels for the factorization hot path.
+
+The E2 trailing update (reference ``src/sopalin/src/sopalin3d.c`` GEMM +
+scatter-add task — SURVEY.md section 2 row 9) dominates factorization
+flops.  The XLA baseline (kernels.py) materializes gathered (ng,T,T)
+copies of both operands plus a scatter — 4 extra HBM passes.  This fused
+kernel streams tiles by index directly from the pool in HBM:
+
+  * contribution triples (a, b, dst) are pre-sorted by dst;
+  * the grid walks triples sequentially (TPU grid order is sequential);
+  * each dst tile is DMA'd into a VMEM accumulator at its first triple,
+    updated with one MXU dot per triple, and written back at its last —
+    so every a/b tile is read once and every dst tile is read+written
+    exactly once: the HBM-traffic lower bound for this schedule.
+
+In-place semantics via input_output_aliases (the pool is donated).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+import numpy as np
+
+_INTERPRET = False  # set True (or use force_tpu_interpret_mode) off-TPU
+
+
+def sort_triples(ga, gb, gd, gk=None):
+    """Sort contribution triples by destination and emit first/last flags."""
+    order = np.argsort(gd, kind="stable")
+    ga, gb, gd = ga[order], gb[order], gd[order]
+    first = np.empty(gd.size, np.int32)
+    last = np.empty(gd.size, np.int32)
+    if gd.size:
+        first[0] = 1
+        first[1:] = gd[1:] != gd[:-1]
+        last[-1] = 1
+        last[:-1] = gd[1:] != gd[:-1]
+    out = [ga, gb, gd, first, last]
+    if gk is not None:
+        out.append(gk[order])
+    return tuple(out)
+
+
+def _mk_kernel_src(T, cross, scaled, update_dtype, out_dtype):
+    """Build the fused gather-GEMM-scatter kernel body."""
+    cdt = update_dtype or out_dtype
+
+    def kernel(*args):
+        if scaled:
+            ga, gb, gd, first, last, gk = args[:6]
+            refs = args[6:]
+        else:
+            ga, gb, gd, first, last = args[:5]
+            refs = args[5:]
+        refs = refs[1:]  # drop the input pool ref (aliased to out)
+        if cross:
+            src = refs[0]
+            refs = refs[1:]
+        if scaled:
+            d_ref = refs[0]
+            refs = refs[1:]
+        out, a_buf, b_buf, acc, sems = refs
+        if not cross:
+            src = out
+        i = pl.program_id(0)
+
+        cp_a = pltpu.make_async_copy(out.at[ga[i]], a_buf, sems.at[0])
+        cp_b = pltpu.make_async_copy(src.at[gb[i]], b_buf, sems.at[1])
+        cp_a.start()
+        cp_b.start()
+
+        @pl.when(first[i] == 1)
+        def _():
+            cp_d = pltpu.make_async_copy(out.at[gd[i]], acc, sems.at[2])
+            cp_d.start()
+            cp_d.wait()
+
+        cp_a.wait()
+        cp_b.wait()
+        a = a_buf[:]
+        if scaled:
+            a = a * d_ref[gk[i]][None, :]
+        contrib = jax.lax.dot_general(
+            a.astype(cdt),
+            b_buf[:].astype(cdt),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc[:] = acc[:] - contrib.astype(out_dtype)
+
+        @pl.when(last[i] == 1)
+        def _():
+            cp_o = pltpu.make_async_copy(acc, out.at[gd[i]], sems.at[3])
+            cp_o.start()
+            cp_o.wait()
+
+    return kernel
+
+
+def gemm_scatter_fused(
+    pool,
+    ga,
+    gb,
+    gd,
+    first,
+    last,
+    gk=None,
+    d=None,
+    src_pool=None,
+    update_dtype=None,
+    interpret=None,
+):
+    """pool[gd] -= op(a) @ b^T fused gather-GEMM-scatter (triples sorted by gd).
+
+    a tiles are read from ``pool``; b tiles from ``src_pool`` if given
+    (the LU cross-pool update) else from ``pool``.  With ``d``/``gk``,
+    a-columns are scaled by d[gk] (the LDL^T D).  Returns the updated pool
+    (same buffer — donated via input_output_aliases).
+    """
+    if interpret is None:
+        interpret = _INTERPRET
+    ng = int(ga.shape[0])
+    if ng == 0:
+        return pool
+    T = pool.shape[1]
+    cross = src_pool is not None
+    scaled = d is not None
+    out_dtype = pool.dtype
+    kernel = _mk_kernel_src(T, cross, scaled, update_dtype, out_dtype)
+
+    scalars = [
+        jnp.asarray(ga, jnp.int32),
+        jnp.asarray(gb, jnp.int32),
+        jnp.asarray(gd, jnp.int32),
+        jnp.asarray(first, jnp.int32),
+        jnp.asarray(last, jnp.int32),
+    ]
+    if scaled:
+        scalars.append(jnp.asarray(gk, jnp.int32))
+    nsc = len(scalars)
+
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # pool (aliased)
+    operands = [pool]
+    if cross:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        operands.append(src_pool)
+    if scaled:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=nsc,
+        grid=(ng,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((T, T), out_dtype),
+            pltpu.VMEM((T, T), out_dtype),
+            pltpu.VMEM((T, T), out_dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(pool.shape, out_dtype),
+        input_output_aliases={nsc: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ng * T * T * T,
+            bytes_accessed=ng * 2 * T * T * out_dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*scalars, *operands)

@@ -1,0 +1,105 @@
+"""Fused Pallas gather-GEMM-scatter kernel vs the XLA baseline.
+
+Runs in interpreter mode on CPU (the kernels themselves target TPU; the
+interpreter checks the logic — DMA schedule, first/last accumulation,
+aliasing — exactly)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pastix_tpu.numeric.pallas_kernels as PK
+from pastix_tpu.numeric import kernels as K
+from pastix_tpu.numeric.pallas_kernels import gemm_scatter_fused, sort_triples
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    old = PK._INTERPRET
+    PK._INTERPRET = True
+    yield
+    PK._INTERPRET = old
+
+
+def _triples(rng, ng, nsrc, npool):
+    ga = rng.integers(0, nsrc, ng).astype(np.int32)
+    gb = rng.integers(0, nsrc, ng).astype(np.int32)
+    gd = rng.integers(nsrc, npool, ng).astype(np.int32)
+    return ga, gb, gd
+
+
+def test_fused_matches_xla_plain(rng):
+    npool, T, ng = 40, 16, 33
+    pool = rng.standard_normal((npool, T, T)).astype(np.float32)
+    ga, gb, gd = _triples(rng, ng, 20, npool)
+    ref = K.gemm_scatter(
+        jnp.asarray(pool), jnp.asarray(ga), jnp.asarray(gb), jnp.asarray(gd)
+    )
+    out = gemm_scatter_fused(jnp.asarray(pool), *sort_triples(ga, gb, gd))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_fused_matches_xla_scaled(rng):
+    npool, T, ng, nbc = 30, 8, 20, 6
+    pool = rng.standard_normal((npool, T, T)).astype(np.float32)
+    ga, gb, gd = _triples(rng, ng, 15, npool)
+    d = (rng.standard_normal((nbc, T)) + 3).astype(np.float32)
+    gk = rng.integers(0, nbc, ng).astype(np.int32)
+    ref = K.gemm_scatter(
+        jnp.asarray(pool), jnp.asarray(ga), jnp.asarray(gb), jnp.asarray(gd),
+        scale_cols=jnp.asarray(d)[gk],
+    )
+    sga, sgb, sgd, first, last, sgk = sort_triples(ga, gb, gd, gk)
+    out = gemm_scatter_fused(
+        jnp.asarray(pool), sga, sgb, sgd, first, last, gk=sgk, d=jnp.asarray(d)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_fused_matches_xla_cross_pool(rng):
+    npool, T, ng = 30, 8, 20
+    pool = rng.standard_normal((npool, T, T)).astype(np.float32)
+    pool_u = rng.standard_normal((npool, T, T)).astype(np.float32)
+    ga, gb, gd = _triples(rng, ng, 15, npool)
+    ref = K.gemm_scatter_ab(
+        jnp.asarray(pool), jnp.asarray(pool), jnp.asarray(pool_u),
+        jnp.asarray(ga), jnp.asarray(gb), jnp.asarray(gd),
+    )
+    out = gemm_scatter_fused(
+        jnp.asarray(pool), *sort_triples(ga, gb, gd),
+        src_pool=jnp.asarray(pool_u),
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+
+
+def test_full_factorization_pallas_path(rng):
+    """LLT end-to-end with every level routed through the fused kernel."""
+    from pastix_tpu.generators import laplacian_2d
+    from pastix_tpu.order import compute_ordering
+    from pastix_tpu.analyze import build_layout
+    from pastix_tpu.numeric.factorize import coefinit, build_factorize_fn
+    from pastix_tpu.solve import build_solve_fn, rhs_to_blocks, blocks_to_rhs
+    from pastix_tpu.config import PastixConfig, Factorization
+    import pastix_tpu.numeric.grouping as G
+
+    A = laplacian_2d(10)
+    o = compute_ordering(A.pattern_sym_scipy(), PastixConfig())
+    Ap = A.permuted(o.permtab)
+    layout = build_layout(Ap.pattern_sym_scipy(), 8)
+    pool0, _ = coefinit(layout, Ap.to_scipy(), dtype=np.float32)
+
+    orig = G.group_levels
+    G.group_levels = lambda levels, npool, nbc, **kw: [
+        ("unroll", lv) for lv in levels
+    ]
+    try:
+        fact = build_factorize_fn(layout, Factorization.LLT, use_pallas=True)
+    finally:
+        G.group_levels = orig
+    solv = build_solve_fn(layout, Factorization.LLT)
+    b = Ap.to_scipy() @ np.ones(A.n)
+    bb = jnp.asarray(rhs_to_blocks(layout, b, dtype=np.float32))
+    x = solv(fact(jnp.asarray(pool0)), bb)
+    xs = blocks_to_rhs(layout, np.asarray(x))
+    assert np.abs(xs - 1).max() < 1e-4
