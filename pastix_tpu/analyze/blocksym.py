@@ -27,6 +27,66 @@ def tile_pattern_of_a(pattern: sp.csc_matrix, T: int) -> tuple[np.ndarray, np.nd
     return (key % nbc).astype(np.int64), (key // nbc).astype(np.int64), nbc
 
 
+def tile_symbolic_ilu(
+    pattern: sp.csc_matrix, T: int, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Tile-level ILU(k) pattern: level-of-fill symbolic factorization.
+
+    The reference computes scalar ILU(k) levels in kass (``SF_level.c``,
+    ``IPARM_LEVEL_OF_FILL`` — SURVEY.md section 2 row 5); here levels are
+    tracked on the tile quotient graph (block ILU(k): a slight superset of
+    scalar ILU(k) fill, which is the natural granularity for the tiled
+    device pools).  fill-level(I,J) = min over eliminated K of
+    lev(I,K) + lev(J,K) + 1; tiles with level > k are dropped.
+
+    Returns (blk_row, blk_col, level_of_col, nbc) like :func:`tile_symbolic`.
+    """
+    tI, tJ, nbc = tile_pattern_of_a(pattern, T)
+    order_idx = np.argsort(tJ * np.int64(nbc) + tI, kind="stable")
+    tI, tJ = tI[order_idx], tJ[order_idx]
+    ptr = np.searchsorted(tJ, np.arange(nbc + 1))
+
+    # per-column {row -> fill level}; original tiles are level 0
+    rows_of: list[np.ndarray] = [None] * nbc  # type: ignore
+    lev_of: list[np.ndarray] = [None] * nbc  # type: ignore
+    # pending fill contributions per column: list of (rows, levels)
+    pend_r: list[list[np.ndarray]] = [[] for _ in range(nbc)]
+    pend_l: list[list[np.ndarray]] = [[] for _ in range(nbc)]
+    sched = np.zeros(nbc, dtype=np.int64)
+    out_rows, out_cols = [], []
+    for J in range(nbc):
+        base = tI[ptr[J] : ptr[J + 1]]
+        r = np.concatenate([base] + pend_r[J])
+        l = np.concatenate([np.zeros(base.size, np.int64)] + pend_l[J])
+        pend_r[J] = pend_l[J] = None  # type: ignore
+        # min level per distinct row
+        uniq, inv = np.unique(r, return_inverse=True)
+        lev = np.full(uniq.size, np.iinfo(np.int64).max)
+        np.minimum.at(lev, inv, l)
+        keep = lev <= k
+        uniq, lev = uniq[keep], lev[keep]
+        if uniq.size == 0 or uniq[0] != J:  # diagonal always kept
+            uniq = np.concatenate([[J], uniq])
+            lev = np.concatenate([[0], lev])
+        rows_of[J], lev_of[J] = uniq, lev
+        out_rows.append(uniq)
+        out_cols.append(np.full(uniq.size, J, np.int64))
+        off, offl = uniq[1:], lev[1:]
+        if off.size:
+            np.maximum.at(sched, off, sched[J] + 1)
+            # all-pairs fill candidates: (I,K) gets lev(I,J)+lev(K,J)+1
+            ii, kk = np.tril_indices(off.size)
+            K_ = off[kk]
+            # group by target column K
+            for Kcol in np.unique(K_):
+                m = K_ == Kcol
+                pend_r[Kcol].append(off[ii[m]])
+                pend_l[Kcol].append(offl[ii[m]] + offl[kk[m]] + 1)
+    blk_row = np.concatenate(out_rows)
+    blk_col = np.concatenate(out_cols)
+    return blk_row, blk_col, sched, nbc
+
+
 def tile_symbolic(
     pattern: sp.csc_matrix, T: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:

@@ -104,6 +104,8 @@ def build_layout(
     T: int,
     for_lu: bool = False,
     schur_first_bcol: int | None = None,
+    incomplete: bool = False,
+    level_of_fill: int = 1,
 ) -> SolverLayout:
     """Build the static plan from the *permuted* full symmetric pattern.
 
@@ -114,7 +116,14 @@ def build_layout(
     SURVEY.md section 2 row 16).
     """
     n = pattern.shape[0]
-    blk_row, blk_col, level_of_col, nbc = tile_symbolic(pattern, T)
+    if incomplete:
+        from pastix_tpu.analyze.blocksym import tile_symbolic_ilu
+
+        blk_row, blk_col, level_of_col, nbc = tile_symbolic_ilu(
+            pattern, T, level_of_fill
+        )
+    else:
+        blk_row, blk_col, level_of_col, nbc = tile_symbolic(pattern, T)
     keys = blk_col * np.int64(nbc) + blk_row
     # tile_symbolic emits sorted by (col,row) already; assert & keep
     assert np.all(np.diff(keys) > 0)
@@ -157,6 +166,12 @@ def build_layout(
             ii, kk = np.tril_indices(m)
             I = rows[ii]
             K = rows[kk]
+            if incomplete:
+                # ILU: updates whose target tile was dropped are discarded
+                key = K.astype(np.int64) * nbc + I.astype(np.int64)
+                pos = np.searchsorted(keys, key)
+                hit = keys[np.minimum(pos, npool - 1)] == key
+                ii, kk, I, K = ii[hit], kk[hit], I[hit], K[hit]
             ga_list.append(pidx[ii])
             gb_list.append(pidx[kk])
             gd_list.append(lookup(I, K))

@@ -159,6 +159,11 @@ class PastixConfig:
             self.symmetry = Symmetry.UNSYMMETRIC
         if self.tile_size is not None and self.tile_size < 1:
             raise ValueError("tile_size must be >= 1")
+        if self.incomplete and self.refinement == RefinementMethod.SIMPLE:
+            # ILU(k) factors are approximate: Richardson may stall, a Krylov
+            # method is the intended consumer (reference pairs IPARM_INCOMPLETE
+            # with API_RAF_GMRES/GRAD)
+            self.refinement = RefinementMethod.GMRES
 
     def resolve_tile_size(self, n: int) -> int:
         """Pick the tile size for an n-dof problem.

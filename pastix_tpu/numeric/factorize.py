@@ -93,16 +93,16 @@ class Factors:
 
 def _unroll_tables(lv, use_pallas: bool = False):
     t = {
-        "cols": jnp.asarray(lv.cols),
-        "diag": jnp.asarray(lv.diag),
-        "tp": jnp.asarray(lv.trsm_panel),
-        "td": jnp.asarray(lv.trsm_diag),
-        "tc": jnp.asarray(lv.trsm_col),
-        "ga": jnp.asarray(lv.gemm_a),
-        "gb": jnp.asarray(lv.gemm_b),
-        "gd": jnp.asarray(lv.gemm_d),
-        "gk": jnp.asarray(lv.gemm_k),
-        "gnd": jnp.asarray(np.flatnonzero(lv.gemm_nondiag).astype(np.int32)),
+        "cols": np.asarray(lv.cols),
+        "diag": np.asarray(lv.diag),
+        "tp": np.asarray(lv.trsm_panel),
+        "td": np.asarray(lv.trsm_diag),
+        "tc": np.asarray(lv.trsm_col),
+        "ga": np.asarray(lv.gemm_a),
+        "gb": np.asarray(lv.gemm_b),
+        "gd": np.asarray(lv.gemm_d),
+        "gk": np.asarray(lv.gemm_k),
+        "gnd": (np.flatnonzero(lv.gemm_nondiag).astype(np.int32)),
     }
     if use_pallas and lv.gemm_a.size:
         from pastix_tpu.numeric.pallas_kernels import sort_triples
@@ -110,28 +110,26 @@ def _unroll_tables(lv, use_pallas: bool = False):
         sga, sgb, sgd, first, last, sgk = sort_triples(
             lv.gemm_a, lv.gemm_b, lv.gemm_d, lv.gemm_k
         )
-        t["p_full"] = tuple(
-            jnp.asarray(x) for x in (sga, sgb, sgd, first, last, sgk)
-        )
+        t["p_full"] = (sga, sgb, sgd, first, last, sgk)
         nd = lv.gemm_nondiag
         if nd.any():
             s = sort_triples(lv.gemm_a[nd], lv.gemm_b[nd], lv.gemm_d[nd])
-            t["p_nd"] = tuple(jnp.asarray(x) for x in s)
+            t["p_nd"] = s
     return t
 
 
 def _scan_tables(g):
     return {
-        "cols": jnp.asarray(g.cols),
-        "diag": jnp.asarray(g.diag),
-        "tp": jnp.asarray(g.trsm_panel),
-        "td": jnp.asarray(g.trsm_diag),
-        "tc": jnp.asarray(g.trsm_col),
-        "ga": jnp.asarray(g.gemm_a),
-        "gb": jnp.asarray(g.gemm_b),
-        "gd": jnp.asarray(g.gemm_d),
-        "gk": jnp.asarray(g.gemm_k),
-        "gdo": jnp.asarray(g.gemm_d_offdiag),
+        "cols": np.asarray(g.cols),
+        "diag": np.asarray(g.diag),
+        "tp": np.asarray(g.trsm_panel),
+        "td": np.asarray(g.trsm_diag),
+        "tc": np.asarray(g.trsm_col),
+        "ga": np.asarray(g.gemm_a),
+        "gb": np.asarray(g.gemm_b),
+        "gd": np.asarray(g.gemm_d),
+        "gk": np.asarray(g.gemm_k),
+        "gdo": np.asarray(g.gemm_d_offdiag),
     }
 
 
@@ -160,7 +158,9 @@ def build_factorize_fn(
     from pastix_tpu.numeric.grouping import group_levels
 
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        # Mosaic DMA slices need the lane dim aligned to 128: the fused
+        # kernel requires T % 128 == 0 (auto tile choice picks 128 at scale)
+        use_pallas = jax.default_backend() == "tpu" and layout.T % 128 == 0
     if use_pallas:
         from pastix_tpu.numeric.pallas_kernels import gemm_scatter_fused
 

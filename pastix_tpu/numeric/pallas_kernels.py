@@ -91,6 +91,13 @@ def _mk_kernel_src(T, cross, scaled, update_dtype, out_dtype):
             b_buf[:].astype(cdt),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
+            # fp32 operands must multiply at full precision (the MXU default
+            # is one-pass bf16); an explicit bf16 update_dtype opts out
+            precision=(
+                lax.Precision.DEFAULT
+                if update_dtype is not None
+                else lax.Precision.HIGHEST
+            ),
         )
         acc[:] = acc[:] - contrib.astype(out_dtype)
 

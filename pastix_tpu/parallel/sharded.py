@@ -47,13 +47,13 @@ def _shard_tables(layout: SolverLayout, ndev: int):
         )
         tabs.append(
             {
-                "diag": jnp.asarray(lv.diag),
-                "tp": jnp.asarray(lv.trsm_panel),
-                "td": jnp.asarray(lv.trsm_diag),
-                "ga": jnp.asarray(ga.reshape(ndev, per)),
-                "gb": jnp.asarray(gb.reshape(ndev, per)),
-                "gp": jnp.asarray(gp.reshape(ndev, per)),
-                "touched": jnp.asarray(touched.astype(np.int32)),
+                "diag": np.asarray(lv.diag),
+                "tp": np.asarray(lv.trsm_panel),
+                "td": np.asarray(lv.trsm_diag),
+                "ga": np.asarray(ga.reshape(ndev, per)),
+                "gb": np.asarray(gb.reshape(ndev, per)),
+                "gp": np.asarray(gp.reshape(ndev, per)),
+                "touched": np.asarray(touched.astype(np.int32)),
                 "ntouch": int(len(touched)),
             }
         )

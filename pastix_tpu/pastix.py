@@ -222,6 +222,8 @@ class Pastix:
             self._tile_size,
             for_lu=cfg.factorization == Factorization.LU,
             schur_first_bcol=self._schur_first_bcol,
+            incomplete=cfg.incomplete,
+            level_of_fill=cfg.level_of_fill,
         )
         upd = np.dtype(cfg.update_dtype).type if cfg.update_dtype else None
         self._fact_fn = build_factorize_fn(self.layout, cfg.factorization, update_dtype=upd)

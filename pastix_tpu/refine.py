@@ -158,9 +158,13 @@ def _gmres(matvec, precond, b, x, bnorm, eps, itermax, m, dtype):
         dx = V[:kk].T @ y
         x = x + np.asarray(precond(dx), dtype=dtype)
         if res <= eps:
+            # the Arnoldi estimate can lag the true residual when the
+            # preconditioner runs in lower precision; only stop (and
+            # otherwise keep restarting) on the true residual
             r = b - matvec(x)
             res = float(np.linalg.norm(r)) / bnorm
-            return RefineResult(x, it, res, res <= eps, hist)
+            if res <= eps:
+                return RefineResult(x, it, res, True, hist)
     r = b - matvec(x)
     res = float(np.linalg.norm(r)) / bnorm
     return RefineResult(x, it, res, res <= eps, hist)

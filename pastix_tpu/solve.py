@@ -29,20 +29,20 @@ def _solve_plan(layout: SolverLayout):
 
     def conv_unroll(lv):
         return {
-            "cols": jnp.asarray(lv.cols),
-            "diag": jnp.asarray(lv.diag),
-            "tp": jnp.asarray(lv.trsm_panel),
-            "tr": jnp.asarray(lv.trsm_row),
-            "tc": jnp.asarray(lv.trsm_col),
+            "cols": np.asarray(lv.cols),
+            "diag": np.asarray(lv.diag),
+            "tp": np.asarray(lv.trsm_panel),
+            "tr": np.asarray(lv.trsm_row),
+            "tc": np.asarray(lv.trsm_col),
         }
 
     def conv_scan(g):
         return {
-            "cols": jnp.asarray(g.cols),
-            "diag": jnp.asarray(g.diag),
-            "tp": jnp.asarray(g.trsm_panel),
-            "tr": jnp.asarray(g.trsm_row),
-            "tc": jnp.asarray(g.trsm_col),
+            "cols": np.asarray(g.cols),
+            "diag": np.asarray(g.diag),
+            "tp": np.asarray(g.trsm_panel),
+            "tr": np.asarray(g.trsm_row),
+            "tc": np.asarray(g.trsm_col),
         }
 
     return [

@@ -1,0 +1,65 @@
+"""Block ILU(k) incomplete factorization mode (reference kass SF_level +
+IPARM_INCOMPLETE — SURVEY.md section 2 rows 5 and 14)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import pastix_tpu
+from pastix_tpu.analyze.blocksym import tile_symbolic, tile_symbolic_ilu
+from pastix_tpu.config import PastixConfig, Factorization, RefinementMethod
+from pastix_tpu.generators import laplacian_2d, poisson_3d
+
+
+def test_ilu_pattern_subset_and_monotone():
+    A = laplacian_2d(12)
+    pat = A.pattern_sym_scipy()
+    T = 4
+    full_r, full_c, _, nbc = tile_symbolic(pat, T)
+    full = set(zip(full_r.tolist(), full_c.tolist()))
+    prev = None
+    for k in (0, 1, 2, 8):
+        r, c, _, _ = tile_symbolic_ilu(pat, T, k)
+        cur = set(zip(r.tolist(), c.tolist()))
+        assert cur <= full
+        if prev is not None:
+            assert prev <= cur  # fill grows with k
+        prev = cur
+    # large k converges to the full pattern
+    r, c, _, _ = tile_symbolic_ilu(pat, T, 50)
+    assert set(zip(r.tolist(), c.tolist())) == full
+
+
+def test_ilu0_pattern_is_tile_pattern_of_a():
+    from pastix_tpu.analyze.blocksym import tile_pattern_of_a
+
+    A = laplacian_2d(10)
+    pat = A.pattern_sym_scipy()
+    r, c, _, _ = tile_symbolic_ilu(pat, 4, 0)
+    ar, ac, _ = tile_pattern_of_a(pat, 4)
+    assert set(zip(r.tolist(), c.tolist())) == set(zip(ar.tolist(), ac.tolist()))
+
+
+@pytest.mark.parametrize("k", [0, 1])
+def test_ilu_preconditioned_solve(k):
+    """ILU(k) + GMRES refinement reaches direct-solver-grade residual."""
+    A = laplacian_2d(16)
+    cfg = PastixConfig(
+        incomplete=True, level_of_fill=k, refinement_itermax=400,
+        refinement_eps=1e-10,
+    )
+    assert cfg.refinement == RefinementMethod.GMRES  # auto-upgraded
+    b = A.to_scipy() @ np.ones(A.n)
+    solver = pastix_tpu.Pastix(A, cfg)
+    x = solver.solve(b)
+    r = np.linalg.norm(b - A.to_scipy() @ x) / np.linalg.norm(b)
+    assert r < 1e-8
+    assert solver.report.refine_iters > 0  # genuinely iterative
+
+
+def test_ilu_memory_smaller_than_direct():
+    A = poisson_3d(8)
+    pat = A.pattern_sym_scipy()
+    rf, cf, _, _ = tile_symbolic(pat, 8)
+    ri, ci, _, _ = tile_symbolic_ilu(pat, 8, 1)
+    assert ri.size < rf.size
