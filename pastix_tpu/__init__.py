@@ -47,6 +47,14 @@ def __getattr__(name):
 
         mod = importlib.import_module("pastix_tpu.pastix")
         return getattr(mod, name)
+    if name == "MurgeSolver":
+        import importlib
+
+        return importlib.import_module("pastix_tpu.murge").MurgeSolver
+    if name == "drivers":
+        import importlib
+
+        return importlib.import_module("pastix_tpu.drivers")
     raise AttributeError(name)
 
 __all__ = [
@@ -65,4 +73,6 @@ __all__ = [
     "Pastix",
     "spsolve",
     "pastix",
+    "MurgeSolver",
+    "drivers",
 ]

@@ -285,6 +285,8 @@ class Pastix:
         import jax
 
         jax.block_until_ready(self.factors.pool)
+        if cfg.ooc:
+            self._offload_factors()
         self.report.fact_time = time.perf_counter() - t0
         self.report.static_pivots = self.factors.n_static_pivots
         self.report.fact_gflops = self.report.fact_flops / max(
@@ -341,8 +343,46 @@ class Pastix:
         out[self.order_.peritab] = xp
         return out[:, 0] if one_d else out
 
+    # --- out-of-core analog: host-RAM factor offload -------------------
+    # (reference src/sopalin/src/ooc.c pages coeftabs to disk under
+    #  IPARM_OOC_LIMIT; on TPU the scarce tier is HBM, so factors move to
+    #  host RAM after factorization and stream back per solve)
+
+    def _offload_factors(self) -> None:
+        f = self.factors
+        if f is None or getattr(f, "_offloaded", False):
+            return
+        limit = self.config.ooc_limit_mb * 1024 * 1024
+        pool_bytes = np.asarray(f.pool).nbytes * (2 if f.pool_u is not None else 1)
+        if limit and pool_bytes <= limit:
+            return  # fits the device budget: keep resident
+        f.pool = np.asarray(f.pool)
+        if f.pool_u is not None:
+            f.pool_u = np.asarray(f.pool_u)
+        f._offloaded = True
+
+    def _restore_factors(self):
+        import jax
+
+        f = self.factors
+        if not getattr(f, "_offloaded", False):
+            return f
+        import dataclasses as _dc
+
+        return _dc.replace(
+            f,
+            pool=jax.device_put(f.pool),
+            pool_u=jax.device_put(f.pool_u) if f.pool_u is not None else None,
+        )
+
     def _raw_solve_ext(self, b_ext: np.ndarray) -> np.ndarray:
         """Factored solve in extended-permuted order (no refinement)."""
+        if getattr(self.factors, "_offloaded", False):
+            live = self._restore_factors()
+            try:
+                return solve_mod.solve(live, b_ext, solve_fn=self._solve_fn)
+            finally:
+                del live  # free HBM immediately after the sweep
         return solve_mod.solve(self.factors, b_ext, solve_fn=self._solve_fn)
 
     def solve(self, b: np.ndarray, refine: Optional[bool] = None) -> np.ndarray:

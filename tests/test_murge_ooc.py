@@ -1,0 +1,99 @@
+"""Murge-style incremental assembly + out-of-core factor offload.
+
+Reference anchors: src/murge/ assembly API (SURVEY.md section 2 row 19),
+src/sopalin/src/ooc.c (row 15)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import pastix_tpu
+from pastix_tpu import MurgeSolver
+from pastix_tpu.config import PastixConfig
+from pastix_tpu.generators import laplacian_2d
+
+
+def _assemble_laplacian(m, nx):
+    """Assemble the 2D 5-point Laplacian edge by edge (FEM-style)."""
+    n = nx * nx
+    idx = lambda i, j: i * nx + j
+    m.graph_begin()
+    for i in range(nx):
+        for j in range(nx):
+            k = idx(i, j)
+            m.graph_edge(k, k)
+            for di, dj in ((1, 0), (0, 1)):
+                if i + di < nx and j + dj < nx:
+                    k2 = idx(i + di, j + dj)
+                    m.graph_edge(k, k2)
+                    m.graph_edge(k2, k)
+    m.graph_end()
+    m.assembly_begin(MurgeSolver.ADD)
+    for i in range(nx):
+        for j in range(nx):
+            k = idx(i, j)
+            m.assembly_set_value(k, k, 4.0)
+            for di, dj in ((1, 0), (0, 1)):
+                if i + di < nx and j + dj < nx:
+                    k2 = idx(i + di, j + dj)
+                    m.assembly_set_value(k, k2, -1.0)
+                    m.assembly_set_value(k2, k, -1.0)
+    m.assembly_end()
+
+
+def test_murge_assembly_matches_generator():
+    nx = 8
+    m = MurgeSolver(nx * nx)
+    _assemble_laplacian(m, nx)
+    ref = laplacian_2d(nx).to_scipy()
+    d = (m.matrix.to_scipy() - ref).tocoo()
+    assert d.nnz == 0 or abs(d.data).max() < 1e-14
+
+
+def test_murge_solve_and_value_reuse():
+    nx = 8
+    n = nx * nx
+    m = MurgeSolver(n)
+    _assemble_laplacian(m, nx)
+    A = m.matrix.to_scipy()
+    b = A @ np.ones(n)
+    x = m.solve(b)
+    assert np.abs(x - 1).max() < 1e-8
+
+    # second assembly, same pattern, scaled values -> cached analysis
+    m.assembly_begin(MurgeSolver.OVERWRITE)
+    C = sp.coo_matrix(sp.csc_matrix(A) * 3.0)
+    m.assembly_set_value(C.row, C.col, C.data)
+    m.assembly_end()
+    x2 = m.solve(3.0 * b)
+    assert np.abs(x2 - 1).max() < 1e-8
+
+
+def test_murge_rejects_out_of_graph_entry():
+    m = MurgeSolver(10)
+    m.graph_begin()
+    m.graph_edge(0, 1)
+    m.graph_end()
+    m.assembly_begin()
+    with pytest.raises(ValueError, match="not in the graph"):
+        m.assembly_set_value(5, 7, 1.0)
+
+
+def test_ooc_offload_roundtrip():
+    A = laplacian_2d(12)
+    b = A.to_scipy() @ np.ones(A.n)
+    s = pastix_tpu.Pastix(A, PastixConfig(ooc=True))
+    s.factorize()
+    assert isinstance(s.factors.pool, np.ndarray)  # lives on host
+    x = s.solve(b)
+    assert np.abs(x - 1).max() < 1e-8
+
+
+def test_ooc_limit_keeps_small_factors_resident():
+    A = laplacian_2d(8)
+    s = pastix_tpu.Pastix(A, PastixConfig(ooc=True, ooc_limit_mb=512))
+    s.factorize()
+    assert not isinstance(s.factors.pool, np.ndarray)  # fits: stays on device
+    b = A.to_scipy() @ np.ones(A.n)
+    x = s.solve(b)
+    assert np.abs(x - 1).max() < 1e-8
