@@ -130,6 +130,9 @@ class PastixConfig:
     incomplete: bool = False  # IPARM_INCOMPLETE
     level_of_fill: int = 1  # IPARM_LEVEL_OF_FILL
 
+    # --- tracing (TRACE_SOPALIN analog) ---
+    trace: bool = False  # collect phase spans; dump with Pastix.dump_trace()
+
     # --- io / misc ---
     io_strategy: IOStrategy = IOStrategy.NO  # IPARM_IO_STRATEGY
     io_dir: str = "."

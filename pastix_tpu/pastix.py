@@ -58,8 +58,35 @@ class Pastix:
         self._schur_first_bcol: Optional[int] = None
         self._ext_map: Optional[np.ndarray] = None  # permuted idx -> extended idx
         self._ext_n: int = 0
+        if self.config.trace:
+            from pastix_tpu.trace import Tracer
+
+            self.tracer = Tracer()
+        else:
+            self.tracer = None
         if A is not None:
             self.set_matrix(A)
+
+    def _span(self, name, **args):
+        if self.tracer is not None:
+            return self.tracer.span(name, **args)
+        import contextlib
+
+        return contextlib.nullcontext()
+
+    def dump_trace(self, path: str) -> None:
+        """Write collected phase spans as perfetto/chrome trace JSON."""
+        if self.tracer is None:
+            raise ValueError("tracing not enabled (PastixConfig.trace)")
+        self.tracer.dump(path)
+
+    def _trace_phase(self, name: str, t0: float, **args) -> None:
+        """Record a completed phase [t0, now] (t0 from time.perf_counter())."""
+        if self.tracer is not None:
+            e = self.tracer.epoch
+            self.tracer.record(
+                name, t0 - e, time.perf_counter() - e, track="phases", **args
+            )
 
     # ------------------------------------------------------------------
     # input
@@ -106,6 +133,7 @@ class Pastix:
             self.order_ = Order.load(os.path.join(cfg.io_dir, "ordername"))
             self.order_.check()
             self.report.order_time = time.perf_counter() - t0
+            self._trace_phase("order", t0)
             return self.order_
         pat = self.A.pattern_sym_scipy()
         if self._schur_unknowns is not None:
@@ -116,6 +144,7 @@ class Pastix:
         if cfg.io_strategy == IOStrategy.SAVE:
             self.order_.save(os.path.join(cfg.io_dir, "ordername"))
         self.report.order_time = time.perf_counter() - t0
+        self._trace_phase("order", t0)
         if cfg.verbosity >= Verbosity.NO:
             print(f"[pastix-tpu] ordering: {self.report.order_time:.3f}s")
         return self.order_
@@ -158,6 +187,7 @@ class Pastix:
             if cfg.io_strategy == IOStrategy.SAVE:
                 self.symbol_.save(os.path.join(cfg.io_dir, "symbname"))
         self.report.symbfact_time = time.perf_counter() - t0
+        self._trace_phase("symbfact", t0)
         self.report.nnz_l_exact = int(self._scalar_info["nnz_l_exact"])
         self.report.fact_flops = float(self._scalar_info["flops_exact"])
         self.report.fill_ratio = self.report.nnz_l_exact / max(1, self.A.nnz)
@@ -229,6 +259,7 @@ class Pastix:
         self._fact_fn = build_factorize_fn(self.layout, cfg.factorization, update_dtype=upd)
         self._solve_fn = solve_mod.build_solve_fn(self.layout, cfg.factorization)
         self.report.analyze_time = time.perf_counter() - t0
+        self._trace_phase("analyze", t0)
         self.report.tile_size = self.layout.T
         self.report.n_tiles = self.layout.npool
         self.report.n_levels = len(self.layout.levels)
@@ -288,6 +319,7 @@ class Pastix:
         if cfg.ooc:
             self._offload_factors()
         self.report.fact_time = time.perf_counter() - t0
+        self._trace_phase("numfact", t0)
         self.report.static_pivots = self.factors.n_static_pivots
         self.report.fact_gflops = self.report.fact_flops / max(
             self.report.fact_time, 1e-12
@@ -394,6 +426,7 @@ class Pastix:
         b_ext = self._perm_rhs(b)
         x_ext = self._raw_solve_ext(b_ext)
         self.report.solve_time = time.perf_counter() - t0
+        self._trace_phase("solve", t0)
 
         do_refine = cfg.refinement != RefinementMethod.NONE if refine is None else refine
         if do_refine:
@@ -429,6 +462,7 @@ class Pastix:
                 self.report.refine_iters = iters
                 self.report.residual = res.residual
             self.report.refine_time = time.perf_counter() - t0
+            self._trace_phase("refine", t0)
         else:
             r = b_ext - self._A_perm64 @ x_ext
             self.report.residual = float(
