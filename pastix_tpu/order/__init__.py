@@ -64,6 +64,19 @@ def compute_ordering(
         return Order.identity(n)
 
     if method == OrderingMethod.ND:
+        # native (C++) nested dissection when the toolchain is available;
+        # same algorithm in Python otherwise
+        from pastix_tpu.native import native_nested_dissection
+
+        res = native_nested_dissection(
+            pattern, leaf_size=config.nd_leaf_size,
+            max_levels=config.nd_max_levels,
+        )
+        if res is not None:
+            peritab, rangtab = res
+            permtab = np.empty(n, dtype=np.int64)
+            permtab[peritab] = np.arange(n, dtype=np.int64)
+            return Order(permtab, peritab, rangtab)
         return nested_dissection(
             pattern, leaf_size=config.nd_leaf_size, max_levels=config.nd_max_levels
         )
