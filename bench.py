@@ -27,11 +27,34 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _tpu_alive(timeout_s: int = 90) -> bool:
+    """Probe the TPU in a subprocess (the tunnel can wedge indefinitely)."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((128, 128));"
+        "print(float((x @ x)[0, 0]))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, timeout=timeout_s
+        )
+        return r.returncode == 0 and b"128.0" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     nx = int(os.environ.get("PASTIX_BENCH_NX", "48"))
     reps = int(os.environ.get("PASTIX_BENCH_REPS", "3"))
 
     import jax
+
+    if not _tpu_alive():
+        log("TPU probe failed/hung -> falling back to CPU backend")
+        jax.config.update("jax_platforms", "cpu")
+        nx = min(nx, int(os.environ.get("PASTIX_BENCH_NX_CPU", "24")))
     import jax.numpy as jnp
 
     log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
