@@ -73,10 +73,13 @@ def coefinit(
 # ---------------------------------------------------------------------------
 
 
-def _sym_lower(tiles: jax.Array) -> jax.Array:
-    """Expand lower-stored diag tiles to full symmetric (LDL^T needs rows)."""
+def _sym_lower(tiles: jax.Array, hermitian: bool = False) -> jax.Array:
+    """Expand lower-stored diag tiles to full symmetric/Hermitian."""
     lo = jnp.tril(tiles)
-    return lo + jnp.swapaxes(jnp.tril(tiles, -1), -1, -2)
+    up = jnp.swapaxes(jnp.tril(tiles, -1), -1, -2)
+    if hermitian and jnp.iscomplexobj(tiles):
+        up = jnp.conj(up)
+    return lo + up
 
 
 @dataclasses.dataclass
@@ -138,6 +141,7 @@ def build_factorize_fn(
     kind: Factorization,
     update_dtype=None,
     use_pallas: Optional[bool] = None,
+    hermitian: Optional[bool] = None,
 ):
     """Emit the jitted factorization program for this pattern.
 
@@ -156,6 +160,13 @@ def build_factorize_fn(
       LU  : fn(pool, pool_u, eps) -> (pool', pool_u', npiv)
     """
     from pastix_tpu.numeric.grouping import group_levels
+
+    if hermitian is None:
+        # conjugated transposes are the natural default: identical to plain
+        # transposes for real dtypes, and the Hermitian (API_SYM_HER)
+        # semantics for complex LLT/LDLH.  Complex-*symmetric* factorization
+        # (API_SYM_YES with c/z values) passes hermitian=False explicitly.
+        hermitian = kind in (Factorization.LLT, Factorization.LDLH)
 
     if use_pallas is None:
         # Mosaic DMA slices need the lane dim aligned to 128: the fused
@@ -176,19 +187,22 @@ def build_factorize_fn(
     if kind == Factorization.LLT:
 
         def llt_level(pool, t, has_work=True):
-            diag = K.potrf_batch(jnp.tril(pool[t["diag"]]))
+            diag = K.potrf_batch(jnp.tril(pool[t["diag"]]), hermitian=hermitian)
             pool = pool.at[t["diag"]].set(diag)
             if t["tp"].size:
-                panels = K.trsm_llt(pool[t["tp"]], pool[t["td"]])
+                panels = K.trsm_llt(
+                    pool[t["tp"]], pool[t["td"]], hermitian=hermitian
+                )
                 pool = pool.at[t["tp"]].set(panels)
-            if "p_full" in t:
+            if "p_full" in t and not jnp.iscomplexobj(pool):
                 sga, sgb, sgd, first, last, _ = t["p_full"]
                 pool = gemm_scatter_fused(
                     pool, sga, sgb, sgd, first, last, update_dtype=update_dtype
                 )
             elif t["ga"].size:
                 pool = K.gemm_scatter(
-                    pool, t["ga"], t["gb"], t["gd"], update_dtype=update_dtype
+                    pool, t["ga"], t["gb"], t["gd"], update_dtype=update_dtype,
+                    hermitian=hermitian,
                 )
             return pool
 
@@ -210,15 +224,20 @@ def build_factorize_fn(
 
         def ldlt_level(carry, t):
             pool, d_arr, npiv = carry
-            L, d, piv = K.ldlt_batch(_sym_lower(pool[t["diag"]]), t["eps"])
+            L, d, piv = K.ldlt_batch(
+                _sym_lower(pool[t["diag"]], hermitian), t["eps"], hermitian
+            )
             pool = pool.at[t["diag"]].set(L)
             d_arr = d_arr.at[t["cols"]].set(d)
             valid = t["cols"] < nbc
             npiv = npiv + jnp.where(valid, piv, 0).sum(dtype=jnp.int32)
             if t["tp"].size:
-                panels = K.trsm_ldlt(pool[t["tp"]], pool[t["td"]], d_arr[t["tc"]])
+                panels = K.trsm_ldlt(
+                    pool[t["tp"]], pool[t["td"]], d_arr[t["tc"]],
+                    hermitian=hermitian,
+                )
                 pool = pool.at[t["tp"]].set(panels)
-            if "p_full" in t:
+            if "p_full" in t and not jnp.iscomplexobj(pool):
                 sga, sgb, sgd, first, last, sgk = t["p_full"]
                 pool = gemm_scatter_fused(
                     pool, sga, sgb, sgd, first, last,
@@ -228,6 +247,7 @@ def build_factorize_fn(
                 pool = K.gemm_scatter(
                     pool, t["ga"], t["gb"], t["gd"],
                     scale_cols=d_arr[t["gk"]], update_dtype=update_dtype,
+                    hermitian=hermitian,
                 )
             return pool, d_arr, npiv
 
@@ -263,7 +283,7 @@ def build_factorize_fn(
                 up = K.trsm_lu_u(pool_u[t["tp"]], pool[t["td"]])
                 pool = pool.at[t["tp"]].set(lp)
                 pool_u = pool_u.at[t["tp"]].set(up)
-            if "p_full" in t:
+            if "p_full" in t and not jnp.iscomplexobj(pool):
                 # A(I,K) -= L(I,J) @ U(J,K): fused kernel, b from the U pool
                 sga, sgb, sgd, first, last, _ = t["p_full"]
                 pool = gemm_scatter_fused(

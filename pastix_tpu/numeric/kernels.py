@@ -7,6 +7,11 @@ row 9), recast as *batched* operations over uniform T x T tiles so one
 call per elimination level feeds the MXU.  A Pallas fused GEMM+scatter
 path lives in pallas_kernels.py; this module is the portable XLA baseline
 and the numerical reference.
+
+All four reference precisions (s/d/c/z — the redefine_functions.h symbol
+machinery) are one code path here, parameterized by dtype; ``hermitian``
+selects conjugated transposes (API_SYM_HER / API_FACT_LDLTH) vs the plain
+transposes of real and complex-symmetric factorizations.
 """
 
 from __future__ import annotations
@@ -18,34 +23,85 @@ import jax.numpy as jnp
 from jax import lax
 
 
+def _conj(x: jax.Array, hermitian: bool) -> jax.Array:
+    return jnp.conj(x) if (hermitian and jnp.iscomplexobj(x)) else x
+
+
+def _clamp_pivot(piv: jax.Array, eps: jax.Array):
+    """Static pivoting: |piv| < eps -> clamp to eps along piv's phase.
+
+    Reference DPARM_EPSILON_MAGN_CTRL semantics; returns (clamped, small).
+    """
+    if jnp.iscomplexobj(piv):
+        mag = jnp.abs(piv)
+        small = mag < eps
+        unit = jnp.where(mag > 0, piv / jnp.where(mag > 0, mag, 1.0), 1.0 + 0.0j)
+        return jnp.where(small, eps * unit, piv), small
+    small = jnp.abs(piv) < eps
+    return jnp.where(small, jnp.where(piv >= 0, eps, -eps), piv), small
+
+
 # ---------------------------------------------------------------------------
 # Diagonal-tile factorizations (the DIAG task)
 # ---------------------------------------------------------------------------
 
 
-def potrf_batch(tiles: jax.Array) -> jax.Array:
-    """Batched lower Cholesky of (B, T, T) SPD tiles."""
-    return lax.linalg.cholesky(tiles, symmetrize_input=False)
+def _potrf_sym_single(M: jax.Array) -> jax.Array:
+    """Unconjugated Cholesky L L^T of one complex-*symmetric* tile.
 
-
-def _ldlt_single(M: jax.Array, eps: jax.Array):
-    """Unpivoted LDL^T of one (T,T) symmetric tile with static pivoting.
-
-    Returns (L_unit_lower, d, n_clamped). Pivots with |d| < eps are clamped
-    to +/-eps (DPARM_EPSILON_MAGN_CTRL semantics; count reported like
-    IPARM_STATIC_PIVOTING).
+    (lax.linalg.cholesky is Hermitian-only; reference API_SYM_YES with
+    complex values factors A = L L^T with complex sqrt.)
     """
     T = M.shape[0]
     ar = lax.broadcasted_iota(jnp.int32, (T,), 0)
 
     def body(j, carry):
+        M, L = carry
+        piv = jnp.sqrt(M[j, j])
+        col = M[:, j] / piv
+        colm = jnp.where(ar > j, col, 0.0)
+        M = M - colm[:, None] * colm[None, :]
+        Lcol = jnp.where(ar == j, piv, jnp.where(ar > j, col, 0.0))
+        L = L.at[:, j].set(Lcol)
+        return M, L
+
+    L0 = jnp.zeros_like(M)
+    _, L = lax.fori_loop(0, T, body, (M, L0))
+    return L
+
+
+def potrf_batch(tiles: jax.Array, hermitian: bool = True) -> jax.Array:
+    """Batched lower Cholesky of (B, T, T) tiles.
+
+    hermitian=True: A = L L^H (real SPD / complex Hermitian, MXU path).
+    hermitian=False with complex dtype: A = L L^T (complex symmetric).
+    """
+    if hermitian or not jnp.iscomplexobj(tiles):
+        return lax.linalg.cholesky(tiles, symmetrize_input=False)
+    return jax.vmap(_potrf_sym_single)(tiles)
+
+
+def _ldlt_single(M: jax.Array, eps: jax.Array, hermitian: bool):
+    """Unpivoted LDL^T / LDL^H of one (T,T) tile with static pivoting.
+
+    Returns (L_unit_lower, d, n_clamped).  Pivots with |d| < eps are
+    clamped (DPARM_EPSILON_MAGN_CTRL semantics; count reported like
+    IPARM_STATIC_PIVOTING).  For LDL^H the pivots are real.
+    """
+    T = M.shape[0]
+    ar = lax.broadcasted_iota(jnp.int32, (T,), 0)
+    herm = hermitian and jnp.iscomplexobj(M)
+
+    def body(j, carry):
         M, L, d, npiv = carry
         piv = M[j, j]
-        small = jnp.abs(piv) < eps
-        pivc = jnp.where(small, jnp.where(piv >= 0, eps, -eps), piv)
+        if herm:
+            piv = jnp.real(piv).astype(M.dtype)  # Hermitian pivots are real
+        pivc, small = _clamp_pivot(piv, eps)
         col = M[:, j] / pivc
         colm = jnp.where(ar > j, col, 0.0)
-        rowm = jnp.where(ar > j, M[j, :], 0.0)
+        row = jnp.conj(M[:, j]) if herm else M[j, :]
+        rowm = jnp.where(ar > j, row, 0.0)
         M = M - colm[:, None] * rowm[None, :]
         Lcol = jnp.where(ar == j, 1.0, colm)
         L = L.at[:, j].set(Lcol)
@@ -58,9 +114,11 @@ def _ldlt_single(M: jax.Array, eps: jax.Array):
     return L, d, npiv
 
 
-def ldlt_batch(tiles: jax.Array, eps: jax.Array):
-    """Batched LDL^T: (B,T,T) -> (L(B,T,T), d(B,T), npiv(B,))."""
-    return jax.vmap(_ldlt_single, in_axes=(0, None))(tiles, eps)
+def ldlt_batch(tiles: jax.Array, eps: jax.Array, hermitian: bool = False):
+    """Batched LDL^T/LDL^H: (B,T,T) -> (L(B,T,T), d(B,T), npiv(B,))."""
+    return jax.vmap(_ldlt_single, in_axes=(0, None, None))(
+        tiles, eps, hermitian
+    )
 
 
 def _getrf_single(M: jax.Array, eps: jax.Array):
@@ -75,9 +133,7 @@ def _getrf_single(M: jax.Array, eps: jax.Array):
 
     def body(j, carry):
         M, npiv = carry
-        piv = M[j, j]
-        small = jnp.abs(piv) < eps
-        pivc = jnp.where(small, jnp.where(piv >= 0, eps, -eps), piv)
+        pivc, small = _clamp_pivot(M[j, j], eps)
         M = M.at[j, j].set(pivc)
         col = M[:, j] / pivc
         colm = jnp.where(ar > j, col, 0.0)
@@ -99,18 +155,21 @@ def getrf_batch(tiles: jax.Array, eps: jax.Array):
 # ---------------------------------------------------------------------------
 
 
-def trsm_llt(panels: jax.Array, diags: jax.Array) -> jax.Array:
-    """X @ Ljj^T = A(I,J)  ->  L(I,J)."""
+def trsm_llt(panels: jax.Array, diags: jax.Array,
+             hermitian: bool = True) -> jax.Array:
+    """X @ op(Ljj)^T = A(I,J)  ->  L(I,J); op = conj for Hermitian."""
     return lax.linalg.triangular_solve(
-        diags, panels, left_side=False, lower=True, transpose_a=True
+        diags, panels, left_side=False, lower=True, transpose_a=True,
+        conjugate_a=hermitian,
     )
 
 
-def trsm_ldlt(panels: jax.Array, diags: jax.Array, d: jax.Array) -> jax.Array:
-    """X @ (L D)^T = A(I,J): unit-L right-solve then column scale by 1/d."""
+def trsm_ldlt(panels: jax.Array, diags: jax.Array, d: jax.Array,
+              hermitian: bool = False) -> jax.Array:
+    """X @ (L D)^{T|H} = A(I,J): unit-L right-solve then column scale."""
     W = lax.linalg.triangular_solve(
         diags, panels, left_side=False, lower=True, transpose_a=True,
-        unit_diagonal=True,
+        conjugate_a=hermitian, unit_diagonal=True,
     )
     return W / d[:, None, :]
 
@@ -142,15 +201,17 @@ def gemm_scatter(
     gd: jax.Array,
     scale_cols: jax.Array | None = None,
     update_dtype=None,
+    hermitian: bool = False,
 ) -> jax.Array:
     """pool[gd] -= pool[ga] @ op(pool[gb])^T, accumulated over duplicates.
 
     ``scale_cols`` (ng, T): per-triple column scaling (the D of LDL^T).
     ``update_dtype``: compute the GEMM in this dtype (bf16 trailing updates
     — the mixed-precision knob from BASELINE config 5).
+    ``hermitian``: op = conj (LL^H / LDL^H trailing updates).
     """
     a = pool[ga]
-    b = pool[gb]
+    b = _conj(pool[gb], hermitian)
     if scale_cols is not None:
         a = a * scale_cols[:, None, :]
     if update_dtype is not None:

@@ -25,6 +25,7 @@ from pastix_tpu.config import (
     PastixConfig,
     RefinementMethod,
     SolveReport,
+    Symmetry,
     Verbosity,
 )
 from pastix_tpu.sparse import SparseMatrix
@@ -100,20 +101,52 @@ class Pastix:
         else:
             S = sp.csc_matrix(A)
             sym = cfg.factorization != Factorization.LU
+            herm = self._hermitian_data(S)
             if sym and cfg.check_matrix:
                 # pastix_checkMatrix: symmetric factorizations demand a
-                # numerically symmetric matrix — fail loudly, not garbage
-                D = abs(S - S.T)
+                # numerically symmetric (or Hermitian) matrix — fail
+                # loudly, not garbage
+                D = abs(S - S.conj().T) if herm else abs(S - S.T)
                 if D.nnz and D.max() > 1e-12 * abs(S).max():
                     raise ValueError(
-                        f"matrix is not symmetric (max |A-A^T| = {D.max():.2e}) "
-                        f"but {cfg.factorization} requires symmetry; "
+                        f"matrix is not {'Hermitian' if herm else 'symmetric'} "
+                        f"(max deviation = {D.max():.2e}) "
+                        f"but {cfg.factorization} requires it; "
                         "use Factorization.LU for unsymmetric systems"
                     )
-            self.A = SparseMatrix.from_scipy(S, symmetric_storage=sym)
+            # Hermitian data keeps full storage (the lower-triangle
+            # reconstruction in SparseMatrix transposes without conj)
+            self.A = SparseMatrix.from_scipy(S, symmetric_storage=sym and not herm)
         self.report.n = self.A.n
         self.report.nnz_a = self.A.nnz
         return self
+
+    def _hermitian_data(self, S) -> bool:
+        """Complex input under a symmetric factorization kind: Hermitian
+        (API_SYM_HER) if A == A^H, else complex-symmetric (API_SYM_YES)."""
+        cfg = self.config
+        data = getattr(S, "data", None)
+        if data is None or not np.iscomplexobj(data):
+            return False
+        if cfg.symmetry == Symmetry.HERMITIAN:
+            return True
+        if cfg.factorization == Factorization.LDLH:
+            return True
+        if cfg.symmetry == Symmetry.SYMMETRIC and np.iscomplexobj(S.data):
+            # auto-detect: prefer Hermitian when both hold (real diag)
+            D = abs(S - S.conj().T)
+            Dt = abs(S - S.T)
+            return (D.max() if D.nnz else 0) <= (Dt.max() if Dt.nnz else 0)
+        return False
+
+    @property
+    def _hermitian(self) -> bool:
+        cfg = self.config
+        if not np.iscomplexobj(np.zeros(0, np.dtype(cfg.compute_dtype))):
+            return True  # real dtypes: conjugation is a no-op, natural path
+        if cfg.factorization == Factorization.LDLH:
+            return True
+        return cfg.symmetry == Symmetry.HERMITIAN
 
     def set_schur_unknowns(self, unknowns) -> "Pastix":
         """pastix_setSchurUnknownList equivalent: these dofs are ordered
@@ -228,7 +261,8 @@ class Pastix:
         pad_rows = np.setdiff1d(np.arange(n_ext), ext)  # the identity gap
         ri = np.concatenate([ri, pad_rows])
         ci = np.concatenate([ci, pad_rows])
-        data = np.concatenate([A_full.data.astype(np.float64), np.ones(pad_rows.size)])
+        vdt = np.result_type(A_full.data.dtype, np.float64)
+        data = np.concatenate([A_full.data.astype(vdt), np.ones(pad_rows.size, vdt)])
         Ap = sp.coo_matrix((data, (ri, ci)), shape=(n_ext, n_ext)).tocsc()
         Ap.sum_duplicates()
         Ap.sort_indices()
@@ -256,8 +290,13 @@ class Pastix:
             level_of_fill=cfg.level_of_fill,
         )
         upd = np.dtype(cfg.update_dtype).type if cfg.update_dtype else None
-        self._fact_fn = build_factorize_fn(self.layout, cfg.factorization, update_dtype=upd)
-        self._solve_fn = solve_mod.build_solve_fn(self.layout, cfg.factorization)
+        self._fact_fn = build_factorize_fn(
+            self.layout, cfg.factorization, update_dtype=upd,
+            hermitian=self._hermitian,
+        )
+        self._solve_fn = solve_mod.build_solve_fn(
+            self.layout, cfg.factorization, hermitian=self._hermitian
+        )
         self.report.analyze_time = time.perf_counter() - t0
         self._trace_phase("analyze", t0)
         self.report.tile_size = self.layout.T
@@ -343,7 +382,8 @@ class Pastix:
         pad_rows = np.setdiff1d(np.arange(n_ext), ext)
         ri = np.concatenate([ri, pad_rows])
         ci = np.concatenate([ci, pad_rows])
-        data = np.concatenate([A_full.data.astype(np.float64), np.ones(pad_rows.size)])
+        vdt = np.result_type(A_full.data.dtype, np.float64)
+        data = np.concatenate([A_full.data.astype(vdt), np.ones(pad_rows.size, vdt)])
         Ap = sp.coo_matrix((data, (ri, ci)), shape=(n_ext, n_ext)).tocsc()
         Ap.sum_duplicates()
         self._A_perm64 = Ap
@@ -362,7 +402,8 @@ class Pastix:
             )
         one_d = b.ndim == 1
         bb = b[:, None] if one_d else b
-        out = np.zeros((self._ext_n, bb.shape[1]), dtype=np.float64)
+        rdt = np.result_type(b.dtype, np.float64)
+        out = np.zeros((self._ext_n, bb.shape[1]), dtype=rdt)
         out[self._ext_map] = bb[self.order_.peritab]
         return out[:, 0] if one_d else out
 
@@ -434,13 +475,17 @@ class Pastix:
             Ap = self._A_perm64
             matvec = lambda v: Ap @ v
             precond = self._raw_solve_ext
+            # complex systems accumulate residuals in complex128
+            rdt = np.result_type(
+                np.dtype(cfg.residual_dtype), Ap.dtype, b_ext.dtype
+            ).type
             if np.asarray(b).ndim == 1:
                 res = refine_fn(
                     matvec, precond, b_ext, x_ext,
                     method=cfg.refinement, eps=cfg.refinement_eps,
                     itermax=cfg.refinement_itermax,
                     gmres_restart=cfg.gmres_restart,
-                    dtype=np.dtype(cfg.residual_dtype).type,
+                    dtype=rdt,
                 )
                 x_ext = res.x
                 self.report.refine_iters = res.iterations
@@ -454,7 +499,7 @@ class Pastix:
                         x_ext[:, k], method=cfg.refinement,
                         eps=cfg.refinement_eps, itermax=cfg.refinement_itermax,
                         gmres_restart=cfg.gmres_restart,
-                        dtype=np.dtype(cfg.residual_dtype).type,
+                        dtype=rdt,
                     )
                     cols.append(res.x)
                     iters = max(iters, res.iterations)

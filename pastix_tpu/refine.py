@@ -90,18 +90,18 @@ def _pcg(matvec, precond, b, x, bnorm, eps, itermax, dtype):
     r = b - matvec(x)
     z = np.asarray(precond(r), dtype=dtype)
     p = z.copy()
-    rz = float(r @ z)
+    rz = np.vdot(r, z)
     for it in range(itermax):
         res = float(np.linalg.norm(r)) / bnorm
         hist.append(res)
         if res <= eps:
             return RefineResult(x, it, res, True, hist)
         Ap = matvec(p)
-        alpha = rz / float(p @ Ap)
+        alpha = rz / np.vdot(p, Ap)
         x = x + alpha * p
         r = r - alpha * Ap
         z = np.asarray(precond(r), dtype=dtype)
-        rz_new = float(r @ z)
+        rz_new = np.vdot(r, z)
         p = z + (rz_new / rz) * p
         rz = rz_new
     res = float(np.linalg.norm(r)) / bnorm
@@ -130,23 +130,30 @@ def _gmres(matvec, precond, b, x, bnorm, eps, itermax, m, dtype):
         k = 0
         for k in range(m):
             w = matvec(np.asarray(precond(V[k]), dtype=dtype))
-            for i in range(k + 1):  # modified Gram-Schmidt
-                H[i, k] = float(w @ V[i])
+            for i in range(k + 1):  # modified Gram-Schmidt (conj for complex)
+                H[i, k] = np.vdot(V[i], w)
                 w = w - H[i, k] * V[i]
             H[k + 1, k] = float(np.linalg.norm(w))
-            if H[k + 1, k] > 1e-300:
+            if abs(H[k + 1, k]) > 1e-300:
                 V[k + 1] = w / H[k + 1, k]
-            # apply previous Givens rotations
+            # apply previous Givens rotations (cs real, sn conj'd on the
+            # lower row — reduces to the usual real rotations for real data)
             for i in range(k):
                 t = cs[i] * H[i, k] + sn[i] * H[i + 1, k]
-                H[i + 1, k] = -sn[i] * H[i, k] + cs[i] * H[i + 1, k]
+                H[i + 1, k] = -np.conj(sn[i]) * H[i, k] + cs[i] * H[i + 1, k]
                 H[i, k] = t
-            denom = np.hypot(H[k, k], H[k + 1, k])
-            cs[k] = H[k, k] / denom
-            sn[k] = H[k + 1, k] / denom
-            H[k, k] = denom
+            ha, hb = H[k, k], H[k + 1, k]
+            denom = np.sqrt(abs(ha) ** 2 + abs(hb) ** 2)
+            if denom < 1e-300:
+                cs[k], sn[k] = 1.0, 0.0
+            elif abs(ha) < 1e-300:
+                cs[k], sn[k] = 0.0, np.conj(hb) / abs(hb)
+            else:
+                cs[k] = abs(ha) / denom
+                sn[k] = (ha / abs(ha)) * np.conj(hb) / denom
+            H[k, k] = cs[k] * ha + sn[k] * hb
             H[k + 1, k] = 0.0
-            g[k + 1] = -sn[k] * g[k]
+            g[k + 1] = -np.conj(sn[k]) * g[k]
             g[k] = cs[k] * g[k]
             it += 1
             res = abs(float(g[k + 1])) / bnorm
@@ -182,20 +189,20 @@ def _bicgstab(matvec, precond, b, x, bnorm, eps, itermax, dtype):
         hist.append(res)
         if res <= eps:
             return RefineResult(x, it, res, True, hist)
-        rho_new = float(rhat @ r)
-        if rho_new == 0.0:
+        rho_new = np.vdot(rhat, r)
+        if abs(rho_new) == 0.0:
             break
         beta = (rho_new / rho) * (alpha / omega) if it else 0.0
         p = r + beta * (p - omega * v) if it else r.copy()
         rho = rho_new
         ph = np.asarray(precond(p), dtype=dtype)
         v = matvec(ph)
-        alpha = rho / float(rhat @ v)
+        alpha = rho / np.vdot(rhat, v)
         s = r - alpha * v
         sh = np.asarray(precond(s), dtype=dtype)
         t = matvec(sh)
-        tt = float(t @ t)
-        omega = float(t @ s) / tt if tt else 0.0
+        tt = float(np.real(np.vdot(t, t)))
+        omega = np.vdot(t, s) / tt if tt else 0.0
         x = x + alpha * ph + omega * sh
         r = s - omega * t
     res = float(np.linalg.norm(r)) / bnorm

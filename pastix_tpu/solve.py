@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+from typing import Optional
 
 from pastix_tpu.analyze.layout import SolverLayout
 from pastix_tpu.config import Factorization
@@ -66,22 +67,26 @@ def _fwd_level(pool, y, t, unit):
     return y
 
 
-def _bwd_level(pool_contrib, pool_diag, x, t, lower_t, unit):
+def _bwd_level(pool_contrib, pool_diag, x, t, lower_t, unit, conj=False):
     """One backward level: gather transposed contributions, then diag solve.
 
     pool_contrib supplies the off-diagonal tiles (L for symmetric kinds,
-    Ut for LU); pool_diag the diagonal tiles.
+    Ut for LU); pool_diag the diagonal tiles.  ``conj``: Hermitian sweep
+    (L^H instead of L^T; no-op for real dtypes).
     """
     if t["tp"].size:
+        tiles = pool_contrib[t["tp"]]
+        if conj and jnp.iscomplexobj(tiles):
+            tiles = jnp.conj(tiles)
         contrib = jnp.einsum(
-            "bij,bir->bjr", pool_contrib[t["tp"]], x[t["tr"]],
+            "bij,bir->bjr", tiles, x[t["tr"]],
             preferred_element_type=x.dtype, precision=_HI,
         )
         x = x.at[t["tc"]].add(-contrib)
     sol = lax.linalg.triangular_solve(
         pool_diag[t["diag"]], x[t["cols"]],
         left_side=True, lower=lower_t, transpose_a=lower_t,
-        unit_diagonal=unit,
+        conjugate_a=conj and lower_t, unit_diagonal=unit,
     )
     x = x.at[t["cols"]].set(sol)
     return x
@@ -96,30 +101,39 @@ def _run_fwd(plan, pool, y, unit):
     return y
 
 
-def _run_bwd(plan, pool_contrib, pool_diag, x, lower_t, unit):
+def _run_bwd(plan, pool_contrib, pool_diag, x, lower_t, unit, conj=False):
     for tag, t in reversed(plan):
         if tag == "unroll":
-            x = _bwd_level(pool_contrib, pool_diag, x, t, lower_t, unit)
+            x = _bwd_level(pool_contrib, pool_diag, x, t, lower_t, unit, conj)
         else:
             x, _ = lax.scan(
-                lambda c, xs: (_bwd_level(pool_contrib, pool_diag, c, xs, lower_t, unit), None),
+                lambda c, xs: (
+                    _bwd_level(pool_contrib, pool_diag, c, xs, lower_t, unit, conj),
+                    None,
+                ),
                 x, t, reverse=True,
             )
     return x
 
 
-def build_solve_fn(layout: SolverLayout, kind: Factorization):
+def build_solve_fn(layout: SolverLayout, kind: Factorization,
+                   hermitian: Optional[bool] = None):
     """Jitted solve program.
 
     Signatures: LLT fn(pool, b); LDLT fn(pool, d, b); LU fn(pool, pool_u, b).
+    ``hermitian`` mirrors build_factorize_fn (backward sweep uses L^H).
     """
     plan = _solve_plan(layout)
+    if hermitian is None:
+        hermitian = kind in (Factorization.LLT, Factorization.LDLH)
 
     if kind == Factorization.LLT:
 
         def solve_llt(pool, b):
             y = _run_fwd(plan, pool, b, unit=False)
-            return _run_bwd(plan, pool, pool, y, lower_t=True, unit=False)
+            return _run_bwd(
+                plan, pool, pool, y, lower_t=True, unit=False, conj=hermitian
+            )
 
         return jax.jit(solve_llt)
 
@@ -128,7 +142,9 @@ def build_solve_fn(layout: SolverLayout, kind: Factorization):
         def solve_ldlt(pool, d, b):
             y = _run_fwd(plan, pool, b, unit=True)
             y = y / d[..., None]
-            return _run_bwd(plan, pool, pool, y, lower_t=True, unit=True)
+            return _run_bwd(
+                plan, pool, pool, y, lower_t=True, unit=True, conj=hermitian
+            )
 
         return jax.jit(solve_ldlt)
 
@@ -143,22 +159,29 @@ def build_solve_fn(layout: SolverLayout, kind: Factorization):
     raise ValueError(f"unsupported factorization: {kind}")
 
 
-def build_fwd_bwd_fns(layout: SolverLayout, kind: Factorization):
+def build_fwd_bwd_fns(layout: SolverLayout, kind: Factorization,
+                      hermitian: Optional[bool] = None):
     """Split jitted forward / backward sweeps (used by the Schur path:
     eliminate, dense-solve the Schur system, back-substitute)."""
     plan = _solve_plan(layout)
+    if hermitian is None:
+        hermitian = kind in (Factorization.LLT, Factorization.LDLH)
 
     if kind == Factorization.LLT:
         fwd = jax.jit(lambda pool, b: _run_fwd(plan, pool, b, unit=False))
         bwd = jax.jit(
-            lambda pool, y: _run_bwd(plan, pool, pool, y, lower_t=True, unit=False)
+            lambda pool, y: _run_bwd(
+                plan, pool, pool, y, lower_t=True, unit=False, conj=hermitian
+            )
         )
     elif kind in (Factorization.LDLT, Factorization.LDLH):
         fwd = jax.jit(
             lambda pool, d, b: _run_fwd(plan, pool, b, unit=True) / d[..., None]
         )
         bwd = jax.jit(
-            lambda pool, d, y: _run_bwd(plan, pool, pool, y, lower_t=True, unit=True)
+            lambda pool, d, y: _run_bwd(
+                plan, pool, pool, y, lower_t=True, unit=True, conj=hermitian
+            )
         )
     else:  # LU
         fwd = jax.jit(
