@@ -107,6 +107,8 @@ class PastixConfig:
     # --- analysis / tiling (phase 3; replaces blend's splitpart knobs) ---
     tile_size: Optional[int] = None  # IPARM_MAX_BLOCKSIZE analog; None=auto
     min_tile_size: int = 16  # IPARM_MIN_BLOCKSIZE analog
+    align_supernodes: bool = True  # amalgamate+pad supernodes to tile grid
+    # (~6x fewer padded flops / ~10x fewer levels for ~30% extra padded rows)
 
     # --- numeric (phase 4) ---
     compute_dtype: str = "float32"  # factor storage/compute dtype
