@@ -60,31 +60,32 @@ def main():
     log(f"jax backend: {jax.default_backend()}, devices: {jax.devices()}")
 
     from pastix_tpu.generators import poisson_3d
-    from pastix_tpu.order import compute_ordering
-    from pastix_tpu.symbolic.fax import symbolic_factorization
-    from pastix_tpu.analyze import build_layout
-    from pastix_tpu.numeric.factorize import coefinit, build_factorize_fn
-    from pastix_tpu.config import PastixConfig, Factorization
+    from pastix_tpu.pastix import Pastix
+    from pastix_tpu.numeric.factorize import coefinit
+    from pastix_tpu.config import PastixConfig
 
     A = poisson_3d(nx)
     n = A.n
-    cfg = PastixConfig()
-    T = int(os.environ.get("PASTIX_BENCH_T", "0")) or cfg.resolve_tile_size(n)
+    kw = {}
+    if os.environ.get("PASTIX_BENCH_T"):
+        kw["tile_size"] = int(os.environ["PASTIX_BENCH_T"])
+    cfg = PastixConfig(**kw)
 
+    # the product pipeline (native ND + aligned tile layout)
+    solver = Pastix(A, cfg)
     t0 = time.perf_counter()
-    order = compute_ordering(A.pattern_sym_scipy(), cfg)
+    solver.order()
     t_order = time.perf_counter() - t0
-    Ap = A.permuted(order.permtab)
-
     t0 = time.perf_counter()
-    symbol = symbolic_factorization(Ap.pattern_sym_scipy(), order.rangtab)
-    flops_exact = symbol.fact_flops()
-    nnz_l = symbol.nnz_l()
+    solver.symbfact()
+    flops_exact = solver.report.fact_flops
+    nnz_l = solver.report.nnz_l_exact
     t_symb = time.perf_counter() - t0
-
     t0 = time.perf_counter()
-    layout = build_layout(Ap.pattern_sym_scipy(), T)
+    solver.analyze()
     t_an = time.perf_counter() - t0
+    layout = solver.layout
+    T = layout.T
     flops_padded = layout.padded_flops("llt")
     log(
         f"n={n} T={T} tiles={layout.npool} levels={len(layout.levels)} "
@@ -92,8 +93,8 @@ def main():
         f"(order {t_order:.1f}s, symb {t_symb:.1f}s, analyze {t_an:.1f}s)"
     )
 
-    pool0, _ = coefinit(layout, Ap.to_scipy(), dtype=np.float32)
-    fact = build_factorize_fn(layout, Factorization.LLT)
+    pool0, _ = coefinit(layout, solver._A_perm, dtype=np.float32)
+    fact = solver._fact_fn
 
     pool_dev = jax.device_put(jnp.asarray(pool0))
     t0 = time.perf_counter()
