@@ -1,0 +1,121 @@
+"""Distributed-input assembly — the dpastix / CSCD analog.
+
+The reference's ``dpastix()`` accepts a per-rank CSCD (local columns +
+``loc2glob``), redistributes it to the solver's distribution
+(``cscd_redispatch`` in cscd_utils — SURVEY.md section 2 row 1 and call
+stack 3.2), and optionally returns the solution in the caller's
+distribution.  Under JAX's single-controller model there is no MPI rank
+boundary: the same workflow is "parts in, global solve, parts out":
+
+    parts = [CSCDPart(loc2glob=..., rows=..., cols=..., vals=...), ...]
+    x_parts = dspsolve(n, parts, b_parts)     # per-part local RHS/solution
+
+Each part's (rows, cols) may be local (indexed into loc2glob) or already
+global (loc2glob=None); duplicate entries across parts are summed, exactly
+like ``cscd_redispatch`` + assembly with CSCD_ADD.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+import scipy.sparse as sp
+
+from pastix_tpu.config import PastixConfig
+from pastix_tpu.sparse import SparseMatrix
+
+
+@dataclasses.dataclass
+class CSCDPart:
+    """One caller-side chunk of the matrix (a reference CSCD per rank).
+
+    ``loc2glob``: global dof of each local index (None = already global).
+    ``rows``/``cols``: COO indices, local when loc2glob is given.
+    ``vals``: entries; duplicates (within and across parts) are summed.
+    """
+
+    rows: np.ndarray
+    cols: np.ndarray
+    vals: np.ndarray
+    loc2glob: Optional[np.ndarray] = None
+
+    def global_coo(self):
+        r = np.asarray(self.rows, dtype=np.int64)
+        c = np.asarray(self.cols, dtype=np.int64)
+        v = np.asarray(self.vals)
+        if self.loc2glob is not None:
+            l2g = np.asarray(self.loc2glob, dtype=np.int64)
+            r = l2g[r]
+            c = l2g[c]
+        return r, c, v
+
+
+def assemble_distributed(n: int, parts: Sequence[CSCDPart]) -> SparseMatrix:
+    """Merge CSCD parts into one global matrix (duplicates summed)."""
+    rs, cs, vs = [], [], []
+    for p in parts:
+        r, c, v = p.global_coo()
+        if r.size and (r.max() >= n or c.max() >= n):
+            raise ValueError(
+                f"part index out of range: max ({int(r.max())}, {int(c.max())}) "
+                f"for n={n}"
+            )
+        rs.append(r)
+        cs.append(c)
+        vs.append(v)
+    r = np.concatenate(rs) if rs else np.empty(0, np.int64)
+    c = np.concatenate(cs) if cs else np.empty(0, np.int64)
+    v = np.concatenate(vs) if vs else np.empty(0)
+    return SparseMatrix.from_coo(n, r, c, v)
+
+
+def gather_rhs(
+    n: int, parts: Sequence[CSCDPart], b_parts: Sequence[np.ndarray],
+    mode: str = "add",
+) -> np.ndarray:
+    """Per-part local RHS -> global RHS (overlap summed, FEM-style)."""
+    nrhs_shape = np.asarray(b_parts[0]).shape[1:] if b_parts else ()
+    b = np.zeros((n, *nrhs_shape))
+    for p, bp in zip(parts, b_parts):
+        bp = np.asarray(bp)
+        idx = (
+            np.asarray(p.loc2glob, dtype=np.int64)
+            if p.loc2glob is not None
+            else np.arange(bp.shape[0], dtype=np.int64)
+        )
+        if mode == "add":
+            np.add.at(b, idx, bp)
+        else:
+            b[idx] = bp
+    return b
+
+
+def scatter_solution(
+    x: np.ndarray, parts: Sequence[CSCDPart]
+) -> list[np.ndarray]:
+    """Global solution -> per-part local pieces (the caller's distribution)."""
+    out = []
+    for p in parts:
+        if p.loc2glob is None:
+            out.append(x.copy())
+        else:
+            out.append(x[np.asarray(p.loc2glob, dtype=np.int64)])
+    return out
+
+
+def dspsolve(
+    n: int,
+    parts: Sequence[CSCDPart],
+    b_parts: Sequence[np.ndarray],
+    config: Optional[PastixConfig] = None,
+    rhs_mode: str = "add",
+) -> list[np.ndarray]:
+    """One-call distributed-input solve (the ``dpastix()`` analog)."""
+    from pastix_tpu.pastix import Pastix
+
+    A = assemble_distributed(n, parts)
+    b = gather_rhs(n, parts, b_parts, mode=rhs_mode)
+    x = Pastix(A, config).solve(b)
+    return scatter_solution(x, parts)

@@ -1,0 +1,85 @@
+"""Distributed-input (CSCD / dpastix) assembly path — SURVEY.md §3.2."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from pastix_tpu.distributed import (
+    CSCDPart,
+    assemble_distributed,
+    dspsolve,
+    gather_rhs,
+    scatter_solution,
+)
+from pastix_tpu.generators import laplacian_2d
+
+
+def _split_parts(A, nparts=3, local=True):
+    """Split a matrix's entries into COO chunks, optionally local-indexed."""
+    C = sp.coo_matrix(A)
+    n = A.shape[0]
+    chunks = np.array_split(np.arange(C.nnz), nparts)
+    parts = []
+    for ch in chunks:
+        r, c, v = C.row[ch], C.col[ch], C.data[ch]
+        if local:
+            gl = np.unique(np.concatenate([r, c]))
+            g2l = {g: i for i, g in enumerate(gl)}
+            parts.append(
+                CSCDPart(
+                    rows=np.array([g2l[x] for x in r]),
+                    cols=np.array([g2l[x] for x in c]),
+                    vals=v.copy(),
+                    loc2glob=gl,
+                )
+            )
+        else:
+            parts.append(CSCDPart(rows=r, cols=c, vals=v.copy()))
+    return parts
+
+
+@pytest.mark.parametrize("local", [True, False])
+def test_assemble_matches_global(local):
+    A = laplacian_2d(8).to_scipy()
+    parts = _split_parts(A, 3, local=local)
+    M = assemble_distributed(A.shape[0], parts)
+    d = (M.to_scipy() - A).tocoo()
+    assert d.nnz == 0 or abs(d.data).max() < 1e-14
+
+
+def test_duplicates_across_parts_are_summed():
+    A = laplacian_2d(6).to_scipy()
+    parts = _split_parts(A * 0.5, 2, local=False)
+    parts += _split_parts(A * 0.5, 2, local=True)  # same entries again
+    M = assemble_distributed(A.shape[0], parts)
+    d = (M.to_scipy() - A).tocoo()
+    assert d.nnz == 0 or abs(d.data).max() < 1e-12
+
+
+def test_dspsolve_roundtrip():
+    A = laplacian_2d(10).to_scipy()
+    n = A.shape[0]
+    parts = _split_parts(A, 4, local=True)
+    x_true = np.ones(n)
+    b = A @ x_true
+    # distribute b additively: each part carries b restricted to a disjoint
+    # share of its local dofs (overlaps contribute zero)
+    owned = np.full(n, -1)
+    for i, p in enumerate(parts):
+        for g in p.loc2glob:
+            if owned[g] < 0:
+                owned[g] = i
+    b_parts = []
+    for i, p in enumerate(parts):
+        bp = np.where(owned[p.loc2glob] == i, b[p.loc2glob], 0.0)
+        b_parts.append(bp)
+    assert (owned >= 0).all()
+    xs = dspsolve(n, parts, b_parts, rhs_mode="add")
+    for p, xp in zip(parts, xs):
+        assert np.abs(xp - x_true[p.loc2glob]).max() < 1e-8
+
+
+def test_out_of_range_rejected():
+    p = CSCDPart(rows=np.array([0]), cols=np.array([99]), vals=np.array([1.0]))
+    with pytest.raises(ValueError, match="out of range"):
+        assemble_distributed(10, [p])
