@@ -79,9 +79,12 @@ def build_sharded_factorize_llt(
                 panels = K.trsm_llt(pool[t["tp"]], pool[t["td"]])
                 pool = pool.at[t["tp"]].set(panels)
             if t["ntouch"]:
-                ga = t["ga"][me]
-                gb = t["gb"][me]
-                gp = t["gp"][me]
+                # tables stay numpy (host constants — device-array closures
+                # wedge the remote-TPU platform); dynamic device index needs
+                # the traced view
+                ga = jnp.asarray(t["ga"])[me]
+                gb = jnp.asarray(t["gb"])[me]
+                gp = jnp.asarray(t["gp"])[me]
                 a = pool[ga]
                 b = pool[gb]
                 contrib = jnp.einsum(
