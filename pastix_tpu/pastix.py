@@ -530,6 +530,19 @@ class Pastix:
                 x_ext = res.x
                 self.report.refine_iters = res.iterations
                 self.report.residual = res.residual
+            elif cfg.refinement == RefinementMethod.SIMPLE:
+                # whole RHS block refined together: one factored solve per
+                # iteration regardless of nrhs
+                from pastix_tpu.refine import refine_block
+
+                res = refine_block(
+                    matvec, precond, b_ext, x_ext,
+                    eps=cfg.refinement_eps, itermax=cfg.refinement_itermax,
+                    dtype=rdt,
+                )
+                x_ext = res.x
+                self.report.refine_iters = res.iterations
+                self.report.residual = res.residual
             else:
                 iters = 0
                 cols = []

@@ -70,6 +70,39 @@ def refine(
     raise ValueError(f"unknown refinement method {method}")
 
 
+def refine_block(
+    matvec,
+    precond,
+    b: np.ndarray,
+    x0: np.ndarray,
+    eps: float = 1e-10,
+    itermax: int = 250,
+    dtype=np.float64,
+) -> RefineResult:
+    """Richardson refinement on a whole RHS block (n, nrhs) at once.
+
+    One factored solve per iteration refines every column together (the
+    batched-update analog of pivot_smp for multiple RHS); stops when the
+    worst column residual meets eps.
+    """
+    b = np.asarray(b, dtype=dtype)
+    x = np.asarray(x0, dtype=dtype).copy()
+    bnorm = np.linalg.norm(b, axis=0)
+    bnorm = np.where(bnorm == 0, 1.0, bnorm)
+    hist = []
+    for it in range(itermax):
+        r = b - matvec(x)
+        res = float((np.linalg.norm(r, axis=0) / bnorm).max())
+        hist.append(res)
+        if res <= eps:
+            return RefineResult(x, it, res, True, hist)
+        x = x + np.asarray(precond(r), dtype=dtype)
+    r = b - matvec(x)
+    res = float((np.linalg.norm(r, axis=0) / bnorm).max())
+    hist.append(res)
+    return RefineResult(x, itermax, res, res <= eps, hist)
+
+
 def _richardson(matvec, precond, b, x, bnorm, eps, itermax, dtype):
     hist = []
     for it in range(itermax):
