@@ -17,7 +17,13 @@ same code on a 1-device mesh.
 from pastix_tpu.parallel.mesh import make_mesh
 from pastix_tpu.parallel.sharded import (
     build_sharded_factorize_llt,
+    build_sharded_factorize_ldlt,
     build_sharded_solve,
 )
 
-__all__ = ["make_mesh", "build_sharded_factorize_llt", "build_sharded_solve"]
+__all__ = [
+    "make_mesh",
+    "build_sharded_factorize_llt",
+    "build_sharded_factorize_ldlt",
+    "build_sharded_solve",
+]

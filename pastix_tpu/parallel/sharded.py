@@ -108,6 +108,76 @@ def build_sharded_factorize_llt(
     return jax.jit(fn)
 
 
+def build_sharded_factorize_ldlt(
+    layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp",
+    hermitian: bool = False,
+):
+    """Jitted multi-device LDL^T: same fan-in scheme as the LL^T path with
+    the unit-L/diagonal-D kernels; returns fn(pool, eps) -> (pool, d, npiv)."""
+    ndev = mesh.shape[tp_axis]
+    tabs = _shard_tables(layout, ndev)
+    # per-level trsm column ids + gemm source-column ids for the D scaling
+    extra = [
+        {"tc": np.asarray(lv.trsm_col), "cols": np.asarray(lv.cols)}
+        for lv in layout.levels
+    ]
+    gk_sharded = []
+    for lv in layout.levels:
+        ng = lv.gemm_a.size
+        per = -(-max(ng, 1) // ndev)
+        pad = per * ndev - ng
+        gk = np.concatenate([lv.gemm_k, np.zeros(pad, np.int32)])
+        gk_sharded.append(np.asarray(gk.reshape(ndev, per)))
+    T, nbc = layout.T, layout.nbc
+    from pastix_tpu.numeric.factorize import _sym_lower
+
+    def fact_local(pool, eps):
+        me = lax.axis_index(tp_axis)
+        d_arr = jnp.ones((nbc, T), pool.dtype)
+        npiv = jnp.int32(0)
+        for t, ex, gks in zip(tabs, extra, gk_sharded):
+            L, d, piv = K.ldlt_batch(
+                _sym_lower(pool[t["diag"]], hermitian), eps, hermitian
+            )
+            pool = pool.at[t["diag"]].set(L)
+            d_arr = d_arr.at[ex["cols"]].set(d)
+            npiv = npiv + piv.sum(dtype=jnp.int32)
+            if t["tp"].size:
+                panels = K.trsm_ldlt(
+                    pool[t["tp"]], pool[t["td"]], d_arr[ex["tc"]],
+                    hermitian=hermitian,
+                )
+                pool = pool.at[t["tp"]].set(panels)
+            if t["ntouch"]:
+                ga = jnp.asarray(t["ga"])[me]
+                gb = jnp.asarray(t["gb"])[me]
+                gp = jnp.asarray(t["gp"])[me]
+                gk = jnp.asarray(gks)[me]
+                a = pool[ga] * d_arr[gk][:, None, :]
+                b = pool[gb]
+                if hermitian and jnp.iscomplexobj(b):
+                    b = jnp.conj(b)
+                contrib = jnp.einsum(
+                    "bij,bkj->bik", a, b,
+                    preferred_element_type=pool.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                acc = jnp.zeros((t["ntouch"] + 1, T, T), pool.dtype)
+                acc = acc.at[gp].add(contrib)
+                acc = lax.psum(acc, tp_axis)
+                pool = pool.at[t["touched"]].add(-acc[: t["ntouch"]])
+        return pool, d_arr, npiv
+
+    fn = jax.shard_map(
+        fact_local,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def build_sharded_solve(layout: SolverLayout, mesh: Mesh, dp_axis: str = "dp"):
     """Jitted multi-device LL^T solve: RHS batch sharded over ``dp_axis``
     (independent systems — the data-parallel axis), factor replicated."""

@@ -1,0 +1,116 @@
+"""Kernel performance model — the machine-model analog.
+
+The reference ships polynomial timing models per platform
+(``src/perf/src/perf.h``: PERF_GEMM/TRSM/POTRF coefficient headers,
+consumed by blend's cost functions — SURVEY.md section 2 row 8).  Here the
+model is *measured*: each batched tile kernel is timed at the shape
+buckets the layout actually uses, cached per (backend, dtype, T), and used
+for roofline/speed-of-light reporting in benchmarks and the solve report.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class KernelTiming:
+    name: str
+    batch: int
+    T: int
+    seconds: float
+    flops: float
+
+    @property
+    def gflops(self) -> float:
+        return self.flops / self.seconds / 1e9
+
+
+def _time_fn(fn, *args, reps: int = 5) -> float:
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@functools.lru_cache(maxsize=64)
+def measure_kernels(T: int, batch: int, dtype_str: str = "float32"):
+    """Measured latency of the three task-body kernels at (batch, T).
+
+    Returns {name: KernelTiming}.  Cached per process (the perf.h analog:
+    one calibration per machine/shape).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pastix_tpu.numeric import kernels as K
+
+    dtype = np.dtype(dtype_str)
+    rng = np.random.default_rng(0)
+    spd = np.eye(T, dtype=dtype) * (T + 1) + rng.standard_normal((T, T)).astype(dtype)
+    tiles = jnp.asarray(np.broadcast_to(spd, (batch, T, T)).copy())
+    panels = jnp.asarray(rng.standard_normal((batch, T, T)).astype(dtype))
+    ga = jnp.asarray(np.arange(batch, dtype=np.int32))
+
+    out = {}
+    potrf = jax.jit(lambda t: K.potrf_batch(jnp.tril(t)))
+    out["potrf"] = KernelTiming(
+        "potrf", batch, T, _time_fn(potrf, tiles), batch * T**3 / 3.0
+    )
+    trsm = jax.jit(K.trsm_llt)
+    out["trsm"] = KernelTiming(
+        "trsm", batch, T, _time_fn(trsm, panels, tiles), batch * float(T) ** 3
+    )
+    gemm = jax.jit(lambda p, a, b, d: K.gemm_scatter(p, a, b, d))
+    out["gemm"] = KernelTiming(
+        "gemm", batch, T,
+        _time_fn(gemm, panels, ga, ga, ga),
+        batch * 2.0 * float(T) ** 3,
+    )
+    return out
+
+
+def estimate_fact_time(layout, dtype_str: str = "float32") -> float:
+    """Predicted factorization wall-time from measured per-level kernel
+    rates (the blend cost-model analog, used for schedule decisions and
+    speed-of-light fractions)."""
+    total = 0.0
+    for lv in layout.levels:
+        for name, count in (
+            ("potrf", lv.diag.size),
+            ("trsm", lv.trsm_panel.size),
+            ("gemm", lv.gemm_a.size),
+        ):
+            if count == 0:
+                continue
+            # bucket batch to the nearest power of two for cache reuse
+            b = 1 << max(0, int(np.ceil(np.log2(count))))
+            b = min(b, 4096)
+            t = measure_kernels(layout.T, b, dtype_str)[name]
+            total += t.seconds * (count / t.batch)
+    return total
+
+
+def speed_of_light(layout, measured_seconds: float, peak_gflops: float,
+                   kind: str = "llt") -> dict:
+    """Roofline summary: achieved device rate vs hardware peak and vs the
+    measured-kernel prediction."""
+    padded = layout.padded_flops(kind)
+    achieved = padded / measured_seconds / 1e9
+    return {
+        "padded_gflops": achieved,
+        "peak_fraction": achieved / peak_gflops if peak_gflops else None,
+        "predicted_seconds": None,  # fill via estimate_fact_time if wanted
+        "measured_seconds": measured_seconds,
+    }

@@ -1,0 +1,96 @@
+"""Multi-device sharded paths on the 8-virtual-device CPU mesh — the
+nompi.h-analog test harness (SURVEY.md section 4 point 3c)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pastix_tpu.config import Factorization, PastixConfig
+from pastix_tpu.generators import laplacian_2d, poisson_3d
+from pastix_tpu.numeric.factorize import coefinit
+from pastix_tpu.parallel import (
+    build_sharded_factorize_ldlt,
+    build_sharded_factorize_llt,
+    build_sharded_solve,
+    make_mesh,
+)
+from pastix_tpu.pastix import Pastix
+from pastix_tpu.solve import blocks_to_rhs, build_solve_fn, rhs_to_blocks
+
+
+def _problem(nx=8, T=8):
+    A = poisson_3d(nx)
+    solver = Pastix(A, PastixConfig(tile_size=T))
+    solver.analyze()
+    pool0, _ = coefinit(solver.layout, solver._A_perm, dtype=np.float32)
+    return A, solver, pool0
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    ndev = len(jax.devices())
+    assert ndev >= 8, "conftest should provide 8 virtual devices"
+    return make_mesh((2, 4), ("dp", "tp"), devices=jax.devices()[:8])
+
+
+def test_sharded_llt_matches_single_device(mesh):
+    A, solver, pool0 = _problem()
+    layout = solver.layout
+    fact_1d = __import__(
+        "pastix_tpu.numeric.factorize", fromlist=["build_factorize_fn"]
+    ).build_factorize_fn(layout, Factorization.LLT, use_pallas=False)
+    ref = np.asarray(fact_1d(jnp.asarray(pool0)))
+
+    fact_nd = build_sharded_factorize_llt(layout, mesh, tp_axis="tp")
+    with mesh:
+        out = np.asarray(fact_nd(jnp.asarray(pool0)))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_sharded_llt_solve_end_to_end(mesh):
+    A, solver, pool0 = _problem()
+    layout = solver.layout
+    fact = build_sharded_factorize_llt(layout, mesh, tp_axis="tp")
+    solv = build_sharded_solve(layout, mesh, dp_axis="dp")
+    n_ext = solver._ext_n
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((n_ext, 4))
+    B = solver._A_perm @ X
+    with mesh:
+        pool = fact(jnp.asarray(pool0))
+        xb = solv(pool, jnp.asarray(rhs_to_blocks(layout, B, dtype=np.float32)))
+    Xs = blocks_to_rhs(layout, np.asarray(xb))
+    res = np.linalg.norm(B - solver._A_perm @ Xs) / np.linalg.norm(B)
+    assert res < 1e-4
+
+
+def test_sharded_ldlt_matches_single_device(mesh):
+    A, solver, pool0 = _problem()
+    layout = solver.layout
+    from pastix_tpu.numeric.factorize import build_factorize_fn
+
+    fact_1d = build_factorize_fn(layout, Factorization.LDLT, use_pallas=False)
+    eps = jnp.float32(1e-12)
+    pr, dr, nr = fact_1d(jnp.asarray(pool0), eps)
+
+    fact_nd = build_sharded_factorize_ldlt(layout, mesh, tp_axis="tp")
+    with mesh:
+        po, do, no = fact_nd(jnp.asarray(pool0), eps)
+    np.testing.assert_allclose(np.asarray(po), np.asarray(pr), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(do), np.asarray(dr), rtol=2e-4, atol=2e-4)
+    assert int(no) == int(nr)
+
+
+def test_sharded_ldlt_solve_end_to_end(mesh):
+    A, solver, pool0 = _problem()
+    layout = solver.layout
+    fact = build_sharded_factorize_ldlt(layout, mesh, tp_axis="tp")
+    solve_fn = build_solve_fn(layout, Factorization.LDLT)
+    b = solver._A_perm @ np.ones(solver._ext_n)
+    with mesh:
+        pool, d, _ = fact(jnp.asarray(pool0), jnp.float32(1e-12))
+    xb = solve_fn(pool, d, jnp.asarray(rhs_to_blocks(layout, b, dtype=np.float32)))
+    x = blocks_to_rhs(layout, np.asarray(xb))[:, 0]
+    res = np.linalg.norm(b - solver._A_perm @ x) / np.linalg.norm(b)
+    assert res < 1e-4
