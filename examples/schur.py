@@ -32,7 +32,7 @@ def main():
     x = solver.solve_with_schur(b)
     r = np.linalg.norm(b - S @ x) / np.linalg.norm(b)
     print(f"solve-with-schur residual = {r:.3e}")
-    return 0 if r < 1e-5 else 1  # fp32 factors, no refinement on this path
+    return 0 if r < 1e-8 else 1
 
 
 if __name__ == "__main__":

@@ -633,6 +633,39 @@ class Pastix:
         x_ext = solve_mod.run_bwd(self.factors, y_ext, self._bwd_fn)
         x_ext = np.array(x_ext)
         x_ext[sb : sb + ns] = xs  # backward must not touch schur rows
+
+        # polish with Richardson using this Schur solve as preconditioner
+        # (fp32 sweeps alone stall around 1e-6)
+        if self.config.refinement != RefinementMethod.NONE:
+            from pastix_tpu.refine import refine_block
+
+            Ap = self._A_perm64
+
+            def schur_precond(r):
+                one_d = r.ndim == 1
+                rr = r[:, None] if one_d else r
+                y = np.array(
+                    solve_mod.run_fwd(self.factors, rr, self._fwd_fn)
+                )
+                ysl = y[sb : sb + ns]
+                zsl = (schur_solve or np.linalg.solve)(S, ysl)
+                y[sb : sb + ns] = zsl
+                z = np.array(solve_mod.run_bwd(self.factors, y, self._bwd_fn))
+                z[sb : sb + ns] = zsl
+                return z[:, 0] if one_d else z
+
+            res = refine_block(
+                lambda v: Ap @ v,
+                schur_precond,
+                b_ext if b_ext.ndim > 1 else b_ext[:, None],
+                x_ext if x_ext.ndim > 1 else x_ext[:, None],
+                eps=self.config.refinement_eps,
+                itermax=min(self.config.refinement_itermax, 50),
+                dtype=np.result_type(Ap.dtype, np.float64).type,
+            )
+            x_ext = res.x if x_ext.ndim > 1 else res.x[:, 0]
+            self.report.refine_iters = res.iterations
+            self.report.residual = res.residual
         return self._unperm_sol(x_ext)
 
     # ------------------------------------------------------------------
