@@ -21,7 +21,7 @@ _LIB = None
 _TRIED = False
 
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["ordering.cpp"]
+_SOURCES = ["ordering.cpp", "symbolic.cpp", "etree.cpp"]
 
 
 def _build(so_path: str) -> bool:
@@ -78,6 +78,28 @@ def get_lib():
         ctypes.POINTER(ctypes.c_int64),  # rangtab out
         ctypes.POINTER(ctypes.c_int64),  # nrang out
     ]
+    lib.pastix_symbfact.restype = ctypes.c_void_p
+    lib.pastix_symbfact.argtypes = [
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.pastix_symb_copy.restype = None
+    lib.pastix_symb_copy.argtypes = [ctypes.c_void_p] + [
+        ctypes.POINTER(ctypes.c_int64)
+    ] * 4
+    lib.pastix_symb_free.restype = None
+    lib.pastix_symb_free.argtypes = [ctypes.c_void_p]
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    lib.pastix_etree.restype = None
+    lib.pastix_etree.argtypes = [ctypes.c_int64, p64, p64, p64]
+    lib.pastix_postorder.restype = ctypes.c_int64
+    lib.pastix_postorder.argtypes = [ctypes.c_int64, p64, p64]
+    lib.pastix_colcounts.restype = None
+    lib.pastix_colcounts.argtypes = [ctypes.c_int64, p64, p64, p64, p64, p64]
     if lib.pastix_native_abi() != 1:
         return None
     _LIB = lib
@@ -114,3 +136,79 @@ def native_nested_dissection(pattern, leaf_size=64, max_levels=64,
     if rc != 0:
         return None
     return peritab, rangtab[: int(nrang[0])].copy()
+
+
+def native_symbolic(pattern, rangtab):
+    """C++ supernodal symbolic factorization; returns
+    (blok_ptr, frownum, lrownum, target) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    A = sp.csc_matrix(pattern)
+    n = A.shape[0]
+    rang = np.ascontiguousarray(rangtab, dtype=np.int64)
+    nsup = rang.size - 1
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int64)
+    nblok = np.zeros(1, dtype=np.int64)
+    h = lib.pastix_symbfact(
+        n, _i64p(indptr), _i64p(indices), nsup, _i64p(rang), _i64p(nblok)
+    )
+    if not h:
+        return None
+    nb = int(nblok[0])
+    blok_ptr = np.empty(nsup + 1, dtype=np.int64)
+    frow = np.empty(nb, dtype=np.int64)
+    lrow = np.empty(nb, dtype=np.int64)
+    targ = np.empty(nb, dtype=np.int64)
+    lib.pastix_symb_copy(h, _i64p(blok_ptr), _i64p(frow), _i64p(lrow), _i64p(targ))
+    lib.pastix_symb_free(h)
+    return blok_ptr, frow, lrow, targ
+
+
+def native_etree(pattern):
+    """C++ elimination tree; returns parent[] or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    A = sp.csc_matrix(pattern)
+    n = A.shape[0]
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int64)
+    parent = np.empty(n, dtype=np.int64)
+    lib.pastix_etree(n, _i64p(indptr), _i64p(indices), _i64p(parent))
+    return parent
+
+
+def native_postorder(parent):
+    lib = get_lib()
+    if lib is None:
+        return None
+    parent = np.ascontiguousarray(parent, dtype=np.int64)
+    post = np.empty(parent.size, dtype=np.int64)
+    rc = lib.pastix_postorder(parent.size, _i64p(parent), _i64p(post))
+    return post if rc == 0 else None
+
+
+def native_colcounts(pattern, parent, post):
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    A = sp.csc_matrix(pattern)
+    n = A.shape[0]
+    indptr = np.ascontiguousarray(A.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(A.indices, dtype=np.int64)
+    parent = np.ascontiguousarray(parent, dtype=np.int64)
+    post = np.ascontiguousarray(post, dtype=np.int64)
+    counts = np.empty(n, dtype=np.int64)
+    lib.pastix_colcounts(
+        n, _i64p(indptr), _i64p(indices), _i64p(parent), _i64p(post),
+        _i64p(counts),
+    )
+    return counts

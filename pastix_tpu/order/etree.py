@@ -19,6 +19,11 @@ def etree(pattern: sp.csc_matrix) -> np.ndarray:
     Returns parent[j] (or -1 for roots). Liu's algorithm with path
     compression, O(nnz * alpha).
     """
+    from pastix_tpu.native import native_etree
+
+    res = native_etree(pattern)
+    if res is not None:
+        return res
     n = pattern.shape[0]
     indptr, indices = pattern.indptr, pattern.indices
     parent = np.full(n, -1, dtype=np.int64)
@@ -40,6 +45,11 @@ def etree(pattern: sp.csc_matrix) -> np.ndarray:
 
 def postorder(parent: np.ndarray) -> np.ndarray:
     """Postorder of the forest given by parent[] (iterative DFS)."""
+    from pastix_tpu.native import native_postorder
+
+    res = native_postorder(parent)
+    if res is not None:
+        return res
     n = parent.shape[0]
     # build child lists (head/next representation)
     head = np.full(n, -1, dtype=np.int64)
@@ -99,6 +109,11 @@ def col_counts(pattern: sp.csc_matrix, parent: np.ndarray, post: np.ndarray) -> 
     symmetric pattern. Feeds the symbolic cost model (DPARM_FILL_IN /
     IPARM_NNZEROS analogs) and fundamental-supernode detection.
     """
+    from pastix_tpu.native import native_colcounts
+
+    res = native_colcounts(pattern, parent, post)
+    if res is not None:
+        return res
     n = pattern.shape[0]
     # per-column lists of the strict lower part: {i > j : A(i,j) != 0}
     L = sp.tril(pattern, k=-1, format="csc")
@@ -199,23 +214,29 @@ def amalgamate(
     nsup = rangtab.shape[0] - 1
     if nsup <= 1:
         return rangtab
+    widths = np.diff(rangtab).astype(np.int64)
     # supernode of each column
-    snode = np.zeros(parent.shape[0], dtype=np.int64)
-    for s in range(nsup):
-        snode[rangtab[s] : rangtab[s + 1]] = s
+    snode = np.repeat(np.arange(nsup, dtype=np.int64), widths)
     # supernodal etree: parent supernode of s = snode[parent[last col of s]]
     keep = np.ones(nsup, dtype=bool)
-    widths = np.diff(rangtab).astype(np.int64)
     heights = counts[rangtab[:-1]].astype(np.int64)  # rows below+diag at first col
-    sparent = np.full(nsup, -1, dtype=np.int64)
-    for s in range(nsup):
-        last = rangtab[s + 1] - 1
-        p = parent[last]
-        sparent[s] = snode[p] if p != -1 else -1
+    last_parent = parent[rangtab[1:] - 1]
+    sparent = np.where(last_parent != -1, snode[last_parent], -1)
+    # merged supernodes alias to their representative (union-find with path
+    # halving) — replaces the O(nsup^2) child-redirect rewrite
+    alias = np.arange(nsup + 1, dtype=np.int64)  # slot nsup = root (-1)
+
+    def find(x):
+        while alias[x] != x:
+            alias[x] = alias[alias[x]]
+            x = alias[x]
+        return x
+
     # merge bottom-up when child's parent supernode is the next supernode
     # (contiguity is required to keep rangtab an interval partition)
     for s in range(nsup - 1, -1, -1):
-        p = sparent[s]
+        sp0 = sparent[s]
+        p = find(sp0) if sp0 != -1 else -1
         if p != s + 1:
             continue
         w_c, w_p = widths[s], widths[p]
@@ -226,14 +247,11 @@ def amalgamate(
         padded = merged_w * merged_h
         extra = 100.0 * max(0, padded - useful) / max(1, useful)
         if w_c < min_width or extra <= max_extra_fill_pct:
-            keep[p] = True
-            keep[s + 1] = keep[s + 1]  # p == s+1 stays a boundary owner
             # merge: drop boundary between s and s+1
             widths[p] = merged_w
             heights[p] = merged_h
             keep[s] = False
-            # redirect any child pointing at s to p
-            sparent[sparent == s] = p
+            alias[s] = p  # children pointing at s now resolve to p
     new_bounds = [0]
     start = 0
     for s in range(nsup):

@@ -27,6 +27,20 @@ def symbolic_factorization(
     """
     n = pattern.shape[0]
     nsup = rangtab.shape[0] - 1
+
+    from pastix_tpu.native import native_symbolic
+
+    res = native_symbolic(pattern, rangtab)
+    if res is not None:
+        blok_ptr, frow, lrow, targ = res
+        return SymbolMatrix(
+            rangtab=np.asarray(rangtab, dtype=np.int64),
+            blok_ptr=blok_ptr,
+            blok_frownum=frow,
+            blok_lrownum=lrow,
+            blok_target=targ,
+        )
+
     A = sp.csc_matrix(pattern)
 
     snode = np.zeros(n, dtype=np.int64)
