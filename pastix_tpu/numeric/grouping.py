@@ -87,18 +87,17 @@ def _stack_levels(levels: list[LevelTables], npool: int, nbc: int) -> ScanGroup:
     )
 
 
-def group_levels(
+def group_plan(
     levels: list[LevelTables],
-    npool: int,
-    nbc: int,
     unroll_gemm: int = 16384,
     unroll_diag: int = 512,
     bucket_base: int = 128,
 ):
-    """Return an execution plan: list of ("unroll", LevelTables) and
-    ("scan", ScanGroup) entries, preserving level order."""
+    """Partition level indices: list of ("unroll", i) / ("scan", [i, ...])
+    entries, preserving level order.  Shared by the single-device and
+    sharded table builders."""
     plan = []
-    run: list[LevelTables] = []
+    run: list[int] = []
     run_bucket = None
 
     def bucket_of(lv: LevelTables) -> int:
@@ -114,18 +113,37 @@ def group_levels(
             if len(run) == 1:
                 plan.append(("unroll", run[0]))
             else:
-                plan.append(("scan", _stack_levels(run, npool, nbc)))
+                plan.append(("scan", list(run)))
         run, run_bucket = [], None
 
-    for lv in levels:
+    for i, lv in enumerate(levels):
         if lv.gemm_a.size >= unroll_gemm or lv.diag.size >= unroll_diag:
             flush()
-            plan.append(("unroll", lv))
+            plan.append(("unroll", i))
             continue
         b = bucket_of(lv)
         if run_bucket is not None and b != run_bucket:
             flush()
-        run.append(lv)
+        run.append(i)
         run_bucket = b
     flush()
+    return plan
+
+
+def group_levels(
+    levels: list[LevelTables],
+    npool: int,
+    nbc: int,
+    unroll_gemm: int = 16384,
+    unroll_diag: int = 512,
+    bucket_base: int = 128,
+):
+    """Return an execution plan: list of ("unroll", LevelTables) and
+    ("scan", ScanGroup) entries, preserving level order."""
+    plan = []
+    for tag, item in group_plan(levels, unroll_gemm, unroll_diag, bucket_base):
+        if tag == "unroll":
+            plan.append(("unroll", levels[item]))
+        else:
+            plan.append(("scan", _stack_levels([levels[i] for i in item], npool, nbc)))
     return plan

@@ -60,42 +60,105 @@ def _shard_tables(layout: SolverLayout, ndev: int):
     return tabs
 
 
+def _stack_shard_tables(run, npool: int):
+    """Stack a run of per-level shard tables into uniform scan xs.
+
+    Padding follows the grouping.py OOB convention: pool-index pads use
+    ``npool`` (gathers clamp to junk that is then dropped, scatters drop),
+    touched-slot pads route contributions to a sacrificial accumulator row
+    whose target tile index is also ``npool``."""
+    md = max(t["diag"].size for t in run)
+    mt = max(max(t["tp"].size for t in run), 1)
+    mn = max(max(t["ntouch"] for t in run), 1)
+    ndev, _ = run[0]["ga"].shape
+    mp = max(t["ga"].shape[1] for t in run)
+
+    def pad1(a, m, fill):
+        out = np.full(m, fill, dtype=np.int32)
+        out[: a.size] = a
+        return out
+
+    def pad2(a, m, fill):
+        out = np.full((ndev, m), fill, dtype=np.int32)
+        out[:, : a.shape[1]] = a
+        return out
+
+    return {
+        "diag": np.stack([pad1(t["diag"], md, npool) for t in run]),
+        "tp": np.stack([pad1(t["tp"], mt, npool) for t in run]),
+        "td": np.stack([pad1(t["td"], mt, npool) for t in run]),
+        # padded triples read tile 0 (junk) and land in the sacrificial row
+        "ga": np.stack([pad2(t["ga"], mp, 0) for t in run]),
+        "gb": np.stack([pad2(t["gb"], mp, 0) for t in run]),
+        "gp": np.stack([pad2(t["gp"], mp, mn) for t in run]),
+        "touched": np.stack([pad1(t["touched"], mn, npool) for t in run]),
+        "ntouch": mn,
+    }
+
+
+def _shard_plan(layout: SolverLayout, ndev: int):
+    """("unroll", tab) / ("scan", stacked tab) plan for the sharded path —
+    same level partition as the single-device programs (grouping.py)."""
+    from pastix_tpu.numeric.grouping import group_plan
+
+    tabs = _shard_tables(layout, ndev)
+    plan = []
+    for tag, item in group_plan(layout.levels):
+        if tag == "unroll":
+            plan.append(("unroll", tabs[item]))
+        else:
+            plan.append(
+                ("scan", _stack_shard_tables([tabs[i] for i in item], layout.npool))
+            )
+    return plan
+
+
 def build_sharded_factorize_llt(
     layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp"
 ):
     """Jitted multi-device LL^T factorization (pool replicated, GEMM work
-    sharded over ``tp_axis``, per-level psum fan-in)."""
+    sharded over ``tp_axis``, per-level psum fan-in).  Heavy levels are
+    unrolled; runs of small levels scan over stacked padded tables."""
     ndev = mesh.shape[tp_axis]
-    tabs = _shard_tables(layout, ndev)
+    plan = _shard_plan(layout, ndev)
     T = layout.T
-    other_axes = tuple(a for a in mesh.axis_names if a != tp_axis)
+
+    def level(pool, t, me, ntouch):
+        diag = K.potrf_batch(jnp.tril(pool[t["diag"]]))
+        pool = pool.at[t["diag"]].set(diag)
+        if t["tp"].size:
+            panels = K.trsm_llt(pool[t["tp"]], pool[t["td"]])
+            pool = pool.at[t["tp"]].set(panels)
+        if ntouch:
+            # tables stay numpy (host constants — device-array closures
+            # wedge the remote-TPU platform); dynamic device index needs
+            # the traced view
+            ga = jnp.asarray(t["ga"])[me]
+            gb = jnp.asarray(t["gb"])[me]
+            gp = jnp.asarray(t["gp"])[me]
+            contrib = jnp.einsum(
+                "bij,bkj->bik", pool[ga], pool[gb],
+                preferred_element_type=pool.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            acc = jnp.zeros((ntouch + 1, T, T), pool.dtype)
+            acc = acc.at[gp].add(contrib)
+            acc = lax.psum(acc, tp_axis)  # fan-in aggregation over ICI
+            pool = pool.at[t["touched"]].add(-acc[:ntouch])
+        return pool
 
     def fact_local(pool):
         me = lax.axis_index(tp_axis)
-        for t in tabs:
-            diag = K.potrf_batch(jnp.tril(pool[t["diag"]]))
-            pool = pool.at[t["diag"]].set(diag)
-            if t["tp"].size:
-                panels = K.trsm_llt(pool[t["tp"]], pool[t["td"]])
-                pool = pool.at[t["tp"]].set(panels)
-            if t["ntouch"]:
-                # tables stay numpy (host constants — device-array closures
-                # wedge the remote-TPU platform); dynamic device index needs
-                # the traced view
-                ga = jnp.asarray(t["ga"])[me]
-                gb = jnp.asarray(t["gb"])[me]
-                gp = jnp.asarray(t["gp"])[me]
-                a = pool[ga]
-                b = pool[gb]
-                contrib = jnp.einsum(
-                    "bij,bkj->bik", a, b,
-                    preferred_element_type=pool.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                acc = jnp.zeros((t["ntouch"] + 1, T, T), pool.dtype)
-                acc = acc.at[gp].add(contrib)
-                acc = lax.psum(acc, tp_axis)  # fan-in aggregation over ICI
-                pool = pool.at[t["touched"]].add(-acc[: t["ntouch"]])
+        for tag, t in plan:
+            if tag == "unroll":
+                pool = level(pool, t, me, t["ntouch"])
+            else:
+                nt = t["ntouch"]
+
+                def body(pool, x):
+                    return level(pool, x, me, nt), None
+
+                pool, _ = lax.scan(body, pool, {k: v for k, v in t.items() if k != "ntouch"})
         return pool
 
     fn = jax.shard_map(
