@@ -170,6 +170,87 @@ class PastixConfig:
             # with API_RAF_GMRES/GRAD)
             self.refinement = RefinementMethod.GMRES
 
+    @classmethod
+    def from_iparm(cls, iparm: dict | None = None, dparm: dict | None = None,
+                   **kw) -> "PastixConfig":
+        """Build a config from reference-style slot names.
+
+        Accepts IPARM_*/DPARM_* keys with API_* string or int values, e.g.::
+
+            PastixConfig.from_iparm(
+                {"IPARM_FACTORIZATION": "API_FACT_LDLT",
+                 "IPARM_ORDERING": "API_ORDER_SCOTCH",
+                 "IPARM_ITERMAX": 100},
+                {"DPARM_EPSILON_REFINEMENT": 1e-12},
+            )
+
+        Unknown slots raise (fail loudly, like pastix_check_param).
+        """
+        out = dict(kw)
+        fact_map = {
+            "API_FACT_LLT": Factorization.LLT, 0: Factorization.LLT,
+            "API_FACT_LDLT": Factorization.LDLT, 1: Factorization.LDLT,
+            "API_FACT_LU": Factorization.LU, 2: Factorization.LU,
+            "API_FACT_LDLH": Factorization.LDLH, 3: Factorization.LDLH,
+        }
+        ord_map = {
+            "API_ORDER_SCOTCH": OrderingMethod.ND, 0: OrderingMethod.ND,
+            "API_ORDER_METIS": OrderingMethod.ND, 1: OrderingMethod.ND,
+            "API_ORDER_PERSONAL": OrderingMethod.PERSONAL, 2: OrderingMethod.PERSONAL,
+            "API_ORDER_LOAD": OrderingMethod.LOAD, 3: OrderingMethod.LOAD,
+        }
+        raf_map = {
+            "API_RAF_GMRES": RefinementMethod.GMRES, 0: RefinementMethod.GMRES,
+            "API_RAF_GRAD": RefinementMethod.CG, 1: RefinementMethod.CG,
+            "API_RAF_PIVOT": RefinementMethod.SIMPLE, 2: RefinementMethod.SIMPLE,
+            "API_RAF_BICGSTAB": RefinementMethod.BICGSTAB, 3: RefinementMethod.BICGSTAB,
+        }
+        sym_map = {
+            "API_SYM_YES": Symmetry.SYMMETRIC, 1: Symmetry.SYMMETRIC,
+            "API_SYM_NO": Symmetry.UNSYMMETRIC, 0: Symmetry.UNSYMMETRIC,
+            "API_SYM_HER": Symmetry.HERMITIAN, 2: Symmetry.HERMITIAN,
+        }
+        io_map = {
+            "API_IO_NO": IOStrategy.NO, 0: IOStrategy.NO,
+            "API_IO_SAVE": IOStrategy.SAVE, 1: IOStrategy.SAVE,
+            "API_IO_LOAD": IOStrategy.LOAD, 2: IOStrategy.LOAD,
+        }
+        islots = {
+            "IPARM_FACTORIZATION": ("factorization", fact_map.get),
+            "IPARM_ORDERING": ("ordering", ord_map.get),
+            "IPARM_REFINEMENT": ("refinement", raf_map.get),
+            "IPARM_SYM": ("symmetry", sym_map.get),
+            "IPARM_IO_STRATEGY": ("io_strategy", io_map.get),
+            "IPARM_ITERMAX": ("refinement_itermax", int),
+            "IPARM_GMRES_IM": ("gmres_restart", int),
+            "IPARM_VERBOSE": ("verbosity", int),
+            "IPARM_MAX_BLOCKSIZE": ("tile_size", int),
+            "IPARM_MIN_BLOCKSIZE": ("min_tile_size", int),
+            "IPARM_AMALGAMATION_LEVEL": ("amalgamation_level", int),
+            "IPARM_INCOMPLETE": ("incomplete", bool),
+            "IPARM_LEVEL_OF_FILL": ("level_of_fill", int),
+            "IPARM_OOC_LIMIT": ("ooc_limit_mb", int),
+            "IPARM_SCHUR": ("schur", bool),
+            "IPARM_START_TASK": ("start_task", Task),
+            "IPARM_END_TASK": ("end_task", Task),
+        }
+        dslots = {
+            "DPARM_EPSILON_REFINEMENT": ("refinement_eps", float),
+            "DPARM_EPSILON_MAGN_CTRL": ("static_pivoting_threshold", float),
+        }
+        for src, slots in ((iparm or {}, islots), (dparm or {}, dslots)):
+            for key, val in src.items():
+                if key not in slots:
+                    raise ValueError(f"unknown parameter slot '{key}'")
+                field, conv = slots[key]
+                cv = conv(val)
+                if cv is None:
+                    raise ValueError(f"bad value {val!r} for {key}")
+                out[field] = cv
+        if out.get("ooc_limit_mb"):
+            out.setdefault("ooc", True)
+        return cls(**out)
+
     def resolve_tile_size(self, n: int) -> int:
         """Pick the tile size for an n-dof problem.
 

@@ -140,3 +140,25 @@ def test_io_strategy_save_load(tmp_path, rng):
                         io_dir=str(tmp_path))
     x = Pastix(A, cfg2).solve(b)
     assert np.allclose(x, 1.0, atol=1e-9)
+
+
+def test_config_from_iparm_slots():
+    """Reference-style IPARM_/DPARM_ slot names map onto the typed config."""
+    from pastix_tpu.config import (
+        Factorization,
+        PastixConfig,
+        RefinementMethod,
+    )
+
+    c = PastixConfig.from_iparm(
+        {"IPARM_FACTORIZATION": "API_FACT_LDLT", "IPARM_ITERMAX": 99,
+         "IPARM_REFINEMENT": "API_RAF_GRAD"},
+        {"DPARM_EPSILON_REFINEMENT": 1e-12},
+    )
+    assert c.factorization == Factorization.LDLT
+    assert c.refinement == RefinementMethod.CG
+    assert c.refinement_itermax == 99 and c.refinement_eps == 1e-12
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown parameter slot"):
+        PastixConfig.from_iparm({"IPARM_BOGUS": 1})
