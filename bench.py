@@ -51,6 +51,15 @@ def main():
 
     import jax
 
+    # persistent compile cache: repeat bench runs skip the slow remote compile
+    cache_dir = os.environ.get("PASTIX_JAX_CACHE", "/root/.cache/pastix_jax")
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"compilation cache unavailable: {e}")
+
     if not _tpu_alive():
         log("TPU probe failed/hung -> falling back to CPU backend")
         jax.config.update("jax_platforms", "cpu")
@@ -96,10 +105,16 @@ def main():
     pool0, _ = coefinit(layout, solver._A_perm, dtype=np.float32)
     fact = solver._fact_fn
 
+    def sync(x):
+        # block_until_ready is unreliable on the experimental remote-TPU
+        # platform: force completion with a device->host element read
+        jax.block_until_ready(x)
+        return float(np.asarray(x[-1])[-1, -1])
+
     pool_dev = jax.device_put(jnp.asarray(pool0))
     t0 = time.perf_counter()
     out = fact(pool_dev)
-    out.block_until_ready()
+    sync(out)
     t_first = time.perf_counter() - t0
     log(f"first call (compile+run): {t_first:.1f}s")
 
@@ -107,9 +122,11 @@ def main():
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fact(pool_dev)
-        out.block_until_ready()
+        sync(out)
         times.append(time.perf_counter() - t0)
     t_fact = min(times)
+    if t_fact < 1e-4:
+        log(f"WARNING: implausible timing {t_fact:.2e}s — sync may be broken")
     gflops = flops_exact / t_fact / 1e9
     gflops_dev = flops_padded / t_fact / 1e9
     log(
