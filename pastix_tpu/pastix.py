@@ -26,6 +26,7 @@ from pastix_tpu.config import (
     RefinementMethod,
     SolveReport,
     Symmetry,
+    Task,
     Verbosity,
 )
 from pastix_tpu.sparse import SparseMatrix
@@ -262,10 +263,9 @@ class Pastix:
         w2 = np.diff(rang2)
         pad_w = ((w2 + T - 1) // T) * T
         offsets = np.concatenate([[0], np.cumsum(pad_w)])
-        ext = np.empty(n, dtype=np.int64)
-        for k in range(w2.size):
-            s, e = rang2[k], rang2[k + 1]
-            ext[s:e] = np.arange(s, e, dtype=np.int64) - s + offsets[k]
+        # ext[i] = i - rang2[k(i)] + offsets[k(i)], vectorized over columns
+        k_of = np.repeat(np.arange(w2.size, dtype=np.int64), w2)
+        ext = np.arange(n, dtype=np.int64) - rang2[k_of] + offsets[k_of]
         return ext, int(offsets[-1])
 
     def _build_extended_matrix(self):
@@ -711,5 +711,19 @@ def pastix(
         symmetrize_pattern=not sym,
     )
     solver = Pastix(A, config)
-    x = solver.solve(b)
+    # honor the phase window (IPARM_START_TASK .. IPARM_END_TASK)
+    st, et = Task(config.start_task), Task(config.end_task)
+    x = None
+    if st <= Task.ORDERING <= et:
+        solver.order()
+    if st <= Task.SYMBFACT <= et:
+        solver.symbfact()
+    if st <= Task.ANALYSE <= et:
+        solver.analyze()
+    if st <= Task.NUMFACT <= et:
+        solver.factorize()
+    if st <= Task.SOLVE <= et:
+        x = solver.solve(b, refine=et >= Task.REFINE)
+    if et >= Task.CLEAN:
+        solver.clean()
     return x, solver.report
