@@ -142,6 +142,7 @@ def build_factorize_fn(
     update_dtype=None,
     use_pallas: Optional[bool] = None,
     hermitian: Optional[bool] = None,
+    donate: bool = False,
 ):
     """Emit the jitted factorization program for this pattern.
 
@@ -218,7 +219,7 @@ def build_factorize_fn(
                     pool, _ = lax.scan(body, pool, t)
             return pool
 
-        return jax.jit(fact_llt)
+        return jax.jit(fact_llt, donate_argnums=(0,) if donate else ())
 
     if kind in (Factorization.LDLT, Factorization.LDLH):
 
@@ -269,7 +270,7 @@ def build_factorize_fn(
                     )
             return pool, d_arr, npiv
 
-        return jax.jit(fact_ldlt)
+        return jax.jit(fact_ldlt, donate_argnums=(0,) if donate else ())
 
     if kind == Factorization.LU:
 
@@ -349,7 +350,7 @@ def build_factorize_fn(
                     )
             return pool, pool_u, npiv
 
-        return jax.jit(fact_lu)
+        return jax.jit(fact_lu, donate_argnums=(0, 1) if donate else ())
 
     raise ValueError(f"unsupported factorization: {kind}")
 

@@ -333,6 +333,8 @@ class Pastix:
         self._fact_fn = build_factorize_fn(
             self.layout, cfg.factorization, update_dtype=upd,
             hermitian=self._hermitian,
+            donate=True,  # the A-valued pool is rebuilt per factorization:
+            # donating halves peak device memory (pools are GBs at scale)
         )
         self._solve_fn = solve_mod.build_solve_fn(
             self.layout, cfg.factorization, hermitian=self._hermitian
