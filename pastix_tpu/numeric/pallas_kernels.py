@@ -86,19 +86,29 @@ def _mk_kernel_src(T, cross, scaled, update_dtype, out_dtype):
         a = a_buf[:]
         if scaled:
             a = a * d_ref[gk[i]][None, :]
-        contrib = jax.lax.dot_general(
-            a.astype(cdt),
-            b_buf[:].astype(cdt),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            # fp32 operands must multiply at full precision (the MXU default
-            # is one-pass bf16); an explicit bf16 update_dtype opts out
-            precision=(
-                lax.Precision.DEFAULT
-                if update_dtype is not None
-                else lax.Precision.HIGHEST
-            ),
-        )
+        b = b_buf[:]
+        dn = (((1,), (1,)), ((), ()))
+        if update_dtype is not None:
+            # explicit low-precision trailing updates (bf16 knob)
+            contrib = jax.lax.dot_general(
+                a.astype(cdt), b.astype(cdt), dn,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # fp32 accuracy from bf16 MXU passes: split each operand into
+            # bf16 head + bf16 tail and take the three leading products
+            # (~Precision.HIGH; Mosaic's HIGHEST lowering wedges the
+            # remote compiler, so the split is done by hand)
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            b_hi = b.astype(jnp.bfloat16)
+            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            f32 = jnp.float32
+            contrib = (
+                jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=f32)
+                + jax.lax.dot_general(a_hi, b_lo, dn, preferred_element_type=f32)
+                + jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=f32)
+            )
         acc[:] = acc[:] - contrib.astype(out_dtype)
 
         @pl.when(last[i] == 1)
