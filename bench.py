@@ -27,7 +27,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _tpu_alive(timeout_s: int = 90) -> bool:
+def _tpu_alive(timeout_s: int = 150) -> bool:
     """Probe the TPU in a subprocess (the tunnel can wedge indefinitely)."""
     import subprocess
 
