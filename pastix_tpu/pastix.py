@@ -576,6 +576,30 @@ class Pastix:
             )
         return self._unperm_sol(x_ext)
 
+    def as_preconditioner(self):
+        """scipy LinearOperator applying the factored solve M^{-1}.
+
+        With ``incomplete=True`` this is the ILU(k) preconditioner for the
+        caller's own Krylov loop (scipy.sparse.linalg.cg/gmres `M=`);
+        with a complete factorization it is a direct-solve preconditioner.
+        """
+        from scipy.sparse.linalg import LinearOperator
+
+        if self.factors is None:
+            self.factorize()
+        n = self.A.n
+        dt = np.dtype(self.config.compute_dtype)
+
+        def mv(r):
+            rr = np.asarray(r)
+            one_d = rr.ndim == 1
+            x = self._unperm_sol(
+                self._raw_solve_ext(self._perm_rhs(rr))
+            )
+            return x if not one_d or x.ndim == 1 else x[:, 0]
+
+        return LinearOperator((n, n), matvec=mv, matmat=mv, dtype=dt)
+
     # ------------------------------------------------------------------
     # Schur complement
     # ------------------------------------------------------------------

@@ -63,3 +63,19 @@ def test_ilu_memory_smaller_than_direct():
     rf, cf, _, _ = tile_symbolic(pat, 8)
     ri, ci, _, _ = tile_symbolic_ilu(pat, 8, 1)
     assert ri.size < rf.size
+
+
+def test_as_preconditioner_scipy_interop():
+    """The factored solve as a scipy LinearOperator (M= in user Krylov)."""
+    from scipy.sparse.linalg import cg
+
+    import pastix_tpu
+
+    A = laplacian_2d(16)
+    S = A.to_scipy().astype(np.float64)
+    b = S @ np.ones(A.n)
+    s = pastix_tpu.Pastix(A, PastixConfig(incomplete=True, level_of_fill=1))
+    M = s.as_preconditioner()
+    x, info = cg(S, b, M=M, rtol=1e-10, maxiter=200)
+    assert info == 0
+    assert np.linalg.norm(b - S @ x) / np.linalg.norm(b) < 1e-9
