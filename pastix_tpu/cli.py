@@ -52,7 +52,8 @@ def build_parser() -> argparse.ArgumentParser:
                                         "bicgstab"], default=None)
     p.add_argument("--eps-refine", type=float, default=None,
                    help="DPARM_EPSILON_REFINEMENT")
-    p.add_argument("--dtype", choices=["f32", "f64"], default="f32")
+    p.add_argument("--dtype", choices=["f32", "f64", "c64", "c128"],
+                   default="f32")
     p.add_argument("--steps", action="store_true",
                    help="step-by-step: phase API + refactorize new values "
                         "with cached analysis (reference step-by-step.c)")
@@ -110,7 +111,8 @@ def main(argv=None) -> int:
         ordering={"nd": OrderingMethod.ND, "amd": OrderingMethod.AMD,
                   "rcm": OrderingMethod.RCM,
                   "natural": OrderingMethod.NATURAL}[args.ord],
-        compute_dtype="float32" if args.dtype == "f32" else "float64",
+        compute_dtype={"f32": "float32", "f64": "float64",
+                       "c64": "complex64", "c128": "complex128"}[args.dtype],
         verbosity=0 if args.quiet else args.verbose,
     )
     if args.tile:

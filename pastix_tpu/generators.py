@@ -98,3 +98,21 @@ def random_unsym(n: int, density: float = 0.01, seed: int = 0, dtype=np.float64)
     rowsum = np.abs(A).sum(axis=1).A.ravel()
     A = A + sp.diags(rowsum + 1.0)
     return SparseMatrix.from_scipy(A.tocsc().astype(dtype), symmetric_storage=False)
+
+
+def helmholtz_2d(
+    nx: int, ny: int | None = None, k: float = 10.0, damping: float = 0.05,
+) -> SparseMatrix:
+    """2D Helmholtz operator -Δ - (k² + i·damping·k²) on the unit square.
+
+    Complex *symmetric* (A = Aᵀ, not Hermitian) — the classic c/z workload
+    for the complex-symmetric LDLᵀ path (absorbing media make it
+    non-Hermitian but symmetric).
+    """
+    ny = ny or nx
+    h2 = 1.0 / ((nx + 1) * (ny + 1))
+    L = laplacian_2d(nx, ny).to_scipy().astype(np.complex128)
+    n = L.shape[0]
+    shift = (k * k + 1j * damping * k * k) * h2
+    A = L - shift * sp.eye(n, format="csc")
+    return SparseMatrix.from_scipy(sp.csc_matrix(A))

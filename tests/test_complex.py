@@ -102,3 +102,19 @@ def test_complex64_single_precision_with_refinement():
     cfg = PastixConfig(compute_dtype="complex64", symmetry=Symmetry.HERMITIAN)
     x = pastix_tpu.spsolve(A, b, config=cfg)
     assert np.abs(x - xt).max() < 1e-8  # refinement closes the c32 gap
+
+
+def test_helmholtz_generator_complex_symmetric():
+    from pastix_tpu.generators import helmholtz_2d
+
+    A = helmholtz_2d(16, k=8.0)
+    S = A.to_scipy()
+    assert abs(S - S.T).max() < 1e-14  # symmetric
+    assert abs(S - S.conj().T).max() > 0  # not Hermitian (absorbing)
+    xt = np.full(S.shape[0], 1.0 - 0.5j)
+    b = S @ xt
+    cfg = PastixConfig(
+        compute_dtype="complex128", factorization=Factorization.LDLT
+    )
+    x = pastix_tpu.spsolve(S, b, config=cfg)
+    assert np.abs(x - xt).max() < 1e-8
