@@ -373,6 +373,19 @@ def factorize(
     pool = jnp.asarray(pool_np)
     if kind == Factorization.LLT:
         pool = fn(pool)
+        # LL^T has no pivoting: breakdown surfaces as NaN on the diagonal.
+        # Fail with a diagnosis instead of returning garbage (the reference
+        # contract is "LLT assumes SPD"; LDLT/LU clamp tiny pivots).
+        diag_of_col = layout.lookup(
+            np.arange(layout.nbc), np.arange(layout.nbc)
+        )
+        dvals = jnp.diagonal(pool[diag_of_col], axis1=-2, axis2=-1)
+        if bool(jnp.isnan(dvals).any() | jnp.isinf(dvals).any()):
+            raise FloatingPointError(
+                "LL^T factorization broke down (NaN/Inf pivot): the matrix "
+                "is not positive definite. Use Factorization.LDLT (static "
+                "pivoting) or LU for indefinite/unsymmetric systems."
+            )
         return Factors(kind, layout, pool, None, None, 0)
     if kind in (Factorization.LDLT, Factorization.LDLH):
         pool, d, npiv = fn(pool, eps)

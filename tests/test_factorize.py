@@ -112,3 +112,17 @@ def test_pattern_closure_property():
     assert total > 0
     for lv in layout.levels:
         assert np.all(lv.gemm_d < layout.npool)
+
+
+def test_llt_breakdown_raises_clear_error():
+    """Indefinite matrix under LL^T must fail loudly, not return NaNs
+    (the reference contract: LLT assumes SPD; LDLT/LU clamp pivots)."""
+    import pastix_tpu
+    from pastix_tpu.generators import laplacian_2d
+
+    A = laplacian_2d(10).to_scipy().tolil()
+    A[5, 5] = -4.0
+    A = A.tocsc()
+    b = A @ np.ones(A.shape[0])
+    with pytest.raises(FloatingPointError, match="not positive definite"):
+        pastix_tpu.spsolve(A, b)
