@@ -18,6 +18,7 @@ from pastix_tpu.parallel.mesh import make_mesh
 from pastix_tpu.parallel.sharded import (
     build_sharded_factorize_llt,
     build_sharded_factorize_ldlt,
+    build_sharded_factorize_lu,
     build_sharded_solve,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "make_mesh",
     "build_sharded_factorize_llt",
     "build_sharded_factorize_ldlt",
+    "build_sharded_factorize_lu",
     "build_sharded_solve",
 ]

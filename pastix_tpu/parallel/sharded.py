@@ -241,6 +241,96 @@ def build_sharded_factorize_ldlt(
     return jax.jit(fn)
 
 
+def _shard_tables_with_nd(layout: SolverLayout, ndev: int):
+    """Shard tables plus the off-diagonal-target partition (LU U-side)."""
+    tabs = _shard_tables(layout, ndev)
+    out = []
+    for lv, t in zip(layout.levels, tabs):
+        ng = lv.gemm_a.size
+        nd_mask = lv.gemm_nondiag
+        tn, posn = (
+            np.unique(lv.gemm_d[nd_mask], return_inverse=True)
+            if nd_mask.any()
+            else (np.empty(0, np.int64), np.empty(0, np.int64))
+        )
+        # same (ndev, per) partition as the main triples; diagonal-target
+        # slots route to the sacrificial accumulator row
+        per = t["ga"].shape[1]
+        pad = per * ndev - ng
+        gpn = np.full(ng, len(tn), np.int64)
+        if nd_mask.any():
+            gpn[nd_mask] = posn
+        gpn = np.concatenate([gpn, np.full(pad, len(tn), np.int64)])
+        t = dict(t)
+        t["gp_u"] = np.asarray(gpn.reshape(ndev, per).astype(np.int32))
+        t["touched_u"] = np.asarray(tn.astype(np.int32))
+        t["ntouch_u"] = int(len(tn))
+        out.append(t)
+    return out
+
+
+def build_sharded_factorize_lu(
+    layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp"
+):
+    """Jitted multi-device LU with static pivoting: the L- and U-side
+    trailing updates use the same partitioned triples with separate
+    fan-in accumulators (U-side drops diagonal targets).
+    Returns fn(pool, pool_u, eps) -> (pool, pool_u, npiv)."""
+    ndev = mesh.shape[tp_axis]
+    tabs = _shard_tables_with_nd(layout, ndev)
+    T = layout.T
+
+    def fact_local(pool, pool_u, eps):
+        me = lax.axis_index(tp_axis)
+        npiv = jnp.int32(0)
+        for t in tabs:
+            diag, piv = K.getrf_batch(pool[t["diag"]], eps)
+            pool = pool.at[t["diag"]].set(diag)
+            npiv = npiv + piv.sum(dtype=jnp.int32)
+            if t["tp"].size:
+                lp = K.trsm_lu_l(pool[t["tp"]], pool[t["td"]])
+                up = K.trsm_lu_u(pool_u[t["tp"]], pool[t["td"]])
+                pool = pool.at[t["tp"]].set(lp)
+                pool_u = pool_u.at[t["tp"]].set(up)
+            if t["ntouch"]:
+                ga = jnp.asarray(t["ga"])[me]
+                gb = jnp.asarray(t["gb"])[me]
+                gp = jnp.asarray(t["gp"])[me]
+                # L-side: A(I,K) -= L(I,J) @ U(J,K) = Lp[ga] @ Ut[gb]^T
+                c = jnp.einsum(
+                    "bij,bkj->bik", pool[ga], pool_u[gb],
+                    preferred_element_type=pool.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                acc = jnp.zeros((t["ntouch"] + 1, T, T), pool.dtype)
+                acc = acc.at[gp].add(c)
+                acc = lax.psum(acc, tp_axis)
+                pool = pool.at[t["touched"]].add(-acc[: t["ntouch"]])
+                if t["ntouch_u"]:
+                    gpu = jnp.asarray(t["gp_u"])[me]
+                    cu = jnp.einsum(
+                        "bij,bkj->bik", pool_u[ga], pool[gb],
+                        preferred_element_type=pool.dtype,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    accu = jnp.zeros((t["ntouch_u"] + 1, T, T), pool.dtype)
+                    accu = accu.at[gpu].add(cu)
+                    accu = lax.psum(accu, tp_axis)
+                    pool_u = pool_u.at[t["touched_u"]].add(
+                        -accu[: t["ntouch_u"]]
+                    )
+        return pool, pool_u, npiv
+
+    fn = jax.shard_map(
+        fact_local,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def build_sharded_solve(layout: SolverLayout, mesh: Mesh, dp_axis: str = "dp"):
     """Jitted multi-device LL^T solve: RHS batch sharded over ``dp_axis``
     (independent systems — the data-parallel axis), factor replicated."""

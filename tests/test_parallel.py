@@ -94,3 +94,36 @@ def test_sharded_ldlt_solve_end_to_end(mesh):
     x = blocks_to_rhs(layout, np.asarray(xb))[:, 0]
     res = np.linalg.norm(b - solver._A_perm @ x) / np.linalg.norm(b)
     assert res < 1e-4
+
+
+def test_sharded_lu_matches_single_device(mesh):
+    from pastix_tpu.generators import random_unsym
+    from pastix_tpu.numeric.factorize import build_factorize_fn
+    from pastix_tpu.parallel import build_sharded_factorize_lu
+
+    A = random_unsym(200, density=0.04, seed=6)
+    solver = Pastix(
+        A, PastixConfig(factorization=Factorization.LU, tile_size=8)
+    )
+    solver.analyze()
+    layout = solver.layout
+    pl0, pu0 = coefinit(layout, solver._A_perm, dtype=np.float32, for_lu=True)
+    eps = jnp.float32(1e-10)
+
+    fact_1d = build_factorize_fn(layout, Factorization.LU, use_pallas=False)
+    pr, ur, nr = fact_1d(jnp.asarray(pl0), jnp.asarray(pu0), eps)
+
+    fact_nd = build_sharded_factorize_lu(layout, mesh, tp_axis="tp")
+    with mesh:
+        po, uo, no = fact_nd(jnp.asarray(pl0), jnp.asarray(pu0), eps)
+    np.testing.assert_allclose(np.asarray(po), np.asarray(pr), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(uo), np.asarray(ur), rtol=2e-3, atol=2e-3)
+    assert int(no) == int(nr)
+
+    # end-to-end solve with the sharded factors
+    solve_fn = build_solve_fn(layout, Factorization.LU)
+    b = solver._A_perm @ np.ones(solver._ext_n)
+    xb = solve_fn(po, uo, jnp.asarray(rhs_to_blocks(layout, b, dtype=np.float32)))
+    x = blocks_to_rhs(layout, np.asarray(xb))[:, 0]
+    res = np.linalg.norm(b - solver._A_perm @ x) / np.linalg.norm(b)
+    assert res < 1e-3
