@@ -15,6 +15,10 @@ same code on a 1-device mesh.
 """
 
 from pastix_tpu.parallel.mesh import make_mesh
+from pastix_tpu.parallel.subtree import (
+    build_subtree_factorize_llt,
+    proportional_mapping,
+)
 from pastix_tpu.parallel.sharded import (
     build_sharded_factorize_llt,
     build_sharded_factorize_ldlt,
@@ -27,5 +31,7 @@ __all__ = [
     "build_sharded_factorize_llt",
     "build_sharded_factorize_ldlt",
     "build_sharded_factorize_lu",
+    "build_subtree_factorize_llt",
+    "proportional_mapping",
     "build_sharded_solve",
 ]

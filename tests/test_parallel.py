@@ -127,3 +127,33 @@ def test_sharded_lu_matches_single_device(mesh):
     x = blocks_to_rhs(layout, np.asarray(xb))[:, 0]
     res = np.linalg.norm(b - solver._A_perm @ x) / np.linalg.norm(b)
     assert res < 1e-3
+
+
+def test_subtree_mapping_covers_all_columns(mesh):
+    from pastix_tpu.parallel import proportional_mapping
+
+    A, solver, _ = _problem()
+    owner = proportional_mapping(solver.layout, 4)
+    assert owner.shape[0] == solver.layout.nbc
+    locals_ = owner[owner >= 0]
+    assert locals_.size > 0 and (owner == -1).sum() > 0
+    assert set(np.unique(locals_)) <= set(range(4))
+
+
+def test_subtree_factorize_matches_single_device(mesh):
+    from pastix_tpu.numeric.factorize import build_factorize_fn
+    from pastix_tpu.parallel import build_subtree_factorize_llt
+    from pastix_tpu.parallel.mesh import make_mesh
+
+    A, solver, pool0 = _problem()
+    layout = solver.layout
+    ref = np.asarray(
+        build_factorize_fn(layout, Factorization.LLT, use_pallas=False)(
+            jnp.asarray(pool0)
+        )
+    )
+    m4 = make_mesh((4,), ("tp",), devices=jax.devices()[:4])
+    fact = build_subtree_factorize_llt(layout, m4)
+    with m4:
+        out = np.asarray(fact(jnp.asarray(pool0)))
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
