@@ -75,9 +75,9 @@ def main():
 
     A = poisson_3d(nx)
     n = A.n
-    kw = {}
-    if os.environ.get("PASTIX_BENCH_T"):
-        kw["tile_size"] = int(os.environ["PASTIX_BENCH_T"])
+    # T=64 is the proven-fast configuration on the remote TPU (the T=128
+    # fused-kernel path compiles too slowly through the tunnel today)
+    kw = {"tile_size": int(os.environ.get("PASTIX_BENCH_T", "64"))}
     cfg = PastixConfig(**kw)
 
     # the product pipeline (native ND + aligned tile layout)

@@ -171,8 +171,16 @@ def build_factorize_fn(
 
     if use_pallas is None:
         # Mosaic DMA slices need the lane dim aligned to 128: the fused
-        # kernel requires T % 128 == 0 (auto tile choice picks 128 at scale)
-        use_pallas = jax.default_backend() == "tpu" and layout.T % 128 == 0
+        # kernel requires T % 128 == 0.  Opt-in for now (PASTIX_USE_PALLAS=1):
+        # per-level kernel compiles are minutes-slow through the remote-TPU
+        # compile helper, and the XLA path is already MXU-batched.
+        import os as _os
+
+        use_pallas = (
+            _os.environ.get("PASTIX_USE_PALLAS") == "1"
+            and jax.default_backend() == "tpu"
+            and layout.T % 128 == 0
+        )
     if use_pallas:
         from pastix_tpu.numeric.pallas_kernels import gemm_scatter_fused
 
