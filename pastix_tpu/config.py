@@ -118,6 +118,8 @@ class PastixConfig:
     #  like IPARM_STATIC_PIVOTING)
 
     # --- solve / refinement (phases 5-6) ---
+    fast_solve: bool = True  # precompute diag-tile inverses: solve sweeps
+    # become pure matmuls (MXU) instead of per-level triangular loops
     refinement: RefinementMethod = RefinementMethod.SIMPLE  # IPARM_REFINEMENT
     refinement_eps: float = 1e-10  # DPARM_EPSILON_REFINEMENT
     refinement_itermax: int = 250  # IPARM_ITERMAX

@@ -92,6 +92,8 @@ class Factors:
     pool_u: Optional[jax.Array]  # Ut tiles (LU only)
     d: Optional[jax.Array]  # (nbc, T) pivots (LDL^T only)
     n_static_pivots: int
+    dinv: Optional[jax.Array] = None  # (nbc,T,T) inverse diag tiles (fast solve)
+    dinv_u: Optional[jax.Array] = None  # LU: inverse upper diag tiles
 
 
 def _unroll_tables(lv, use_pallas: bool = False):
@@ -401,3 +403,45 @@ def factorize(
     pool_u = jnp.asarray(pool_u_np)
     pool, pool_u, npiv = fn(pool, pool_u, eps)
     return Factors(kind, layout, pool, pool_u, None, int(npiv))
+
+
+def build_diag_inverse_fn(layout: SolverLayout, kind: Factorization,
+                          hermitian: bool = True):
+    """Jitted batched inverse of every diagonal tile (one triangular loop
+    total).  The inverses turn all solve-sweep triangular solves into MXU
+    matmuls — the solve latency is otherwise dominated by per-level T-step
+    sequential loops (the updo hot-path observation from SURVEY.md §3.4).
+
+    Returns fn(pool[, pool_u]) -> dinv (and dinv_u for LU)."""
+    diag_idx = np.asarray(
+        layout.lookup(np.arange(layout.nbc), np.arange(layout.nbc))
+    ).astype(np.int32)
+    T = layout.T
+
+    unit = kind != Factorization.LLT  # LDLT/LDLH/LU have unit lower factors
+
+    def inv_lower(pool):
+        D = pool[diag_idx]
+        eye = jnp.broadcast_to(
+            jnp.eye(T, dtype=pool.dtype), (diag_idx.size, T, T)
+        )
+        return lax.linalg.triangular_solve(
+            D, eye, left_side=True, lower=True, unit_diagonal=unit
+        )
+
+    if kind != Factorization.LU:
+        return jax.jit(inv_lower)
+
+    def inv_lu(pool, pool_u):
+        del pool_u  # U diag lives in the combined L/U tile (upper part)
+        dinv_l = inv_lower(pool)
+        D = pool[diag_idx]
+        eye = jnp.broadcast_to(
+            jnp.eye(T, dtype=pool.dtype), (diag_idx.size, T, T)
+        )
+        dinv_u = lax.linalg.triangular_solve(
+            D, eye, left_side=True, lower=False
+        )
+        return dinv_l, dinv_u
+
+    return jax.jit(inv_lu)

@@ -54,6 +54,8 @@ class Pastix:
         self._A_perm64 = None  # fp64 copy for residuals
         self._fact_fn = None
         self._solve_fn = None
+        self._dinv_fn = None
+        self._solve_fn_inv = None
         self._fwd_fn = None
         self._bwd_fn = None
         self._schur_unknowns: Optional[np.ndarray] = None
@@ -339,6 +341,17 @@ class Pastix:
         self._solve_fn = solve_mod.build_solve_fn(
             self.layout, cfg.factorization, hermitian=self._hermitian
         )
+        if cfg.fast_solve:
+            from pastix_tpu.numeric.factorize import build_diag_inverse_fn
+
+            self._dinv_fn = build_diag_inverse_fn(
+                self.layout, cfg.factorization, hermitian=self._hermitian
+            )
+            self._solve_fn_inv = solve_mod.build_solve_fn_inv(
+                self.layout, cfg.factorization, hermitian=self._hermitian
+            )
+        else:
+            self._dinv_fn = self._solve_fn_inv = None
         self.report.analyze_time = time.perf_counter() - t0
         self._trace_phase("analyze", t0)
         self.report.tile_size = self.layout.T
@@ -397,6 +410,13 @@ class Pastix:
         import jax
 
         jax.block_until_ready(self.factors.pool)
+        if self._dinv_fn is not None:
+            if cfg.factorization == Factorization.LU:
+                self.factors.dinv, self.factors.dinv_u = self._dinv_fn(
+                    self.factors.pool, self.factors.pool_u
+                )
+            else:
+                self.factors.dinv = self._dinv_fn(self.factors.pool)
         if cfg.ooc:
             self._offload_factors()
         self.report.fact_time = time.perf_counter() - t0
@@ -490,15 +510,22 @@ class Pastix:
             pool_u=jax.device_put(f.pool_u) if f.pool_u is not None else None,
         )
 
+    def _solve_dispatch(self, factors, b_ext):
+        if self._solve_fn_inv is not None and factors.dinv is not None:
+            return solve_mod.solve_inv(
+                factors, b_ext, solve_fn=self._solve_fn_inv
+            )
+        return solve_mod.solve(factors, b_ext, solve_fn=self._solve_fn)
+
     def _raw_solve_ext(self, b_ext: np.ndarray) -> np.ndarray:
         """Factored solve in extended-permuted order (no refinement)."""
         if getattr(self.factors, "_offloaded", False):
             live = self._restore_factors()
             try:
-                return solve_mod.solve(live, b_ext, solve_fn=self._solve_fn)
+                return self._solve_dispatch(live, b_ext)
             finally:
                 del live  # free HBM immediately after the sweep
-        return solve_mod.solve(self.factors, b_ext, solve_fn=self._solve_fn)
+        return self._solve_dispatch(self.factors, b_ext)
 
     def solve(self, b: np.ndarray, refine: Optional[bool] = None) -> np.ndarray:
         """Solve A x = b (original ordering); refinement per config."""

@@ -258,3 +258,133 @@ def solve(factors: Factors, b_perm: np.ndarray, solve_fn=None) -> np.ndarray:
         xb = fn(factors.pool, factors.pool_u, bb)
     out = blocks_to_rhs(layout, xb)
     return out if np.asarray(b_perm).ndim > 1 else out[:, 0]
+
+
+# ---------------------------------------------------------------------------
+# fast solve: diagonal-tile inverses -> every level is pure matmuls
+# ---------------------------------------------------------------------------
+
+
+def _fwd_level_inv(pool, dinv, y, t):
+    sol = jnp.einsum(
+        "bij,bjr->bir", dinv[t["cols"]], y[t["cols"]],
+        preferred_element_type=y.dtype, precision=_HI,
+    )
+    y = y.at[t["cols"]].set(sol)
+    if t["tp"].size:
+        contrib = jnp.einsum(
+            "bij,bjr->bir", pool[t["tp"]], y[t["tc"]],
+            preferred_element_type=y.dtype, precision=_HI,
+        )
+        y = y.at[t["tr"]].add(-contrib)
+    return y
+
+
+def _bwd_level_inv(pool_contrib, dinv, x, t, transpose_d, conj=False):
+    """Backward level with an inverse diag apply.
+
+    transpose_d: apply dinv^T (symmetric kinds use the lower inverse
+    transposed); False for LU (dinv is already the upper inverse).
+    """
+    if t["tp"].size:
+        tiles = pool_contrib[t["tp"]]
+        if conj and jnp.iscomplexobj(tiles):
+            tiles = jnp.conj(tiles)
+        contrib = jnp.einsum(
+            "bij,bir->bjr", tiles, x[t["tr"]],
+            preferred_element_type=x.dtype, precision=_HI,
+        )
+        x = x.at[t["tc"]].add(-contrib)
+    D = dinv[t["cols"]]
+    if conj and jnp.iscomplexobj(D):
+        D = jnp.conj(D)
+    eq = "bji,bjr->bir" if transpose_d else "bij,bjr->bir"
+    sol = jnp.einsum(
+        eq, D, x[t["cols"]], preferred_element_type=x.dtype, precision=_HI
+    )
+    x = x.at[t["cols"]].set(sol)
+    return x
+
+
+def _run_fwd_inv(plan, pool, dinv, y):
+    for tag, t in plan:
+        if tag == "unroll":
+            y = _fwd_level_inv(pool, dinv, y, t)
+        else:
+            y, _ = lax.scan(
+                lambda c, x: (_fwd_level_inv(pool, dinv, c, x), None), y, t
+            )
+    return y
+
+
+def _run_bwd_inv(plan, pool_contrib, dinv, x, transpose_d, conj=False):
+    for tag, t in reversed(plan):
+        if tag == "unroll":
+            x = _bwd_level_inv(pool_contrib, dinv, x, t, transpose_d, conj)
+        else:
+            x, _ = lax.scan(
+                lambda c, xs: (
+                    _bwd_level_inv(pool_contrib, dinv, c, xs, transpose_d, conj),
+                    None,
+                ),
+                x, t, reverse=True,
+            )
+    return x
+
+
+def build_solve_fn_inv(layout: SolverLayout, kind: Factorization,
+                       hermitian: Optional[bool] = None):
+    """Jitted fast solve using precomputed diagonal-tile inverses
+    (factorize.build_diag_inverse_fn).  Signatures:
+      LLT : fn(pool, dinv, b)
+      LDLT: fn(pool, dinv, d, b)
+      LU  : fn(pool, pool_u, dinv_l, dinv_u, b)
+    """
+    plan = _solve_plan(layout)
+    if hermitian is None:
+        hermitian = kind in (Factorization.LLT, Factorization.LDLH)
+
+    if kind == Factorization.LLT:
+
+        def solve_llt(pool, dinv, b):
+            y = _run_fwd_inv(plan, pool, dinv, b)
+            return _run_bwd_inv(plan, pool, dinv, y, True, conj=hermitian)
+
+        return jax.jit(solve_llt)
+
+    if kind in (Factorization.LDLT, Factorization.LDLH):
+
+        def solve_ldlt(pool, dinv, d, b):
+            y = _run_fwd_inv(plan, pool, dinv, b)
+            y = y / d[..., None]
+            return _run_bwd_inv(plan, pool, dinv, y, True, conj=hermitian)
+
+        return jax.jit(solve_ldlt)
+
+    if kind == Factorization.LU:
+
+        def solve_lu(pool, pool_u, dinv_l, dinv_u, b):
+            y = _run_fwd_inv(plan, pool, dinv_l, b)
+            return _run_bwd_inv(plan, pool_u, dinv_u, y, False)
+
+        return jax.jit(solve_lu)
+
+    raise ValueError(f"unsupported factorization: {kind}")
+
+
+def solve_inv(factors: Factors, b_perm: np.ndarray, solve_fn) -> np.ndarray:
+    """Host driver for the fast (inverse-diag) solve programs."""
+    layout = factors.layout
+    bb = jnp.asarray(
+        rhs_to_blocks(layout, b_perm, dtype=np.asarray(factors.pool).dtype)
+    )
+    if factors.kind == Factorization.LLT:
+        xb = solve_fn(factors.pool, factors.dinv, bb)
+    elif factors.kind in (Factorization.LDLT, Factorization.LDLH):
+        xb = solve_fn(factors.pool, factors.dinv, factors.d, bb)
+    else:
+        xb = solve_fn(
+            factors.pool, factors.pool_u, factors.dinv, factors.dinv_u, bb
+        )
+    out = blocks_to_rhs(layout, xb)
+    return out if np.asarray(b_perm).ndim > 1 else out[:, 0]

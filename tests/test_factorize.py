@@ -126,3 +126,28 @@ def test_llt_breakdown_raises_clear_error():
     b = A @ np.ones(A.shape[0])
     with pytest.raises(FloatingPointError, match="not positive definite"):
         pastix_tpu.spsolve(A, b)
+
+
+def test_fast_solve_matches_classic():
+    """Inverse-diag fast solve == triangular-solve path (same plan)."""
+    import pastix_tpu
+    from pastix_tpu.generators import poisson_3d
+
+    A = poisson_3d(8)
+    b = A.to_scipy() @ np.ones(A.n)
+    xs = {}
+    for fast in (False, True):
+        s = pastix_tpu.Pastix(A, PastixConfig(fast_solve=fast))
+        xs[fast] = s.solve(b, refine=False)
+    np.testing.assert_allclose(xs[True], xs[False], rtol=1e-4, atol=1e-5)
+    # and LU
+    from pastix_tpu.generators import random_unsym
+
+    B = random_unsym(150, density=0.05, seed=3)
+    bb = B.to_scipy() @ np.ones(B.n)
+    for fast in (False, True):
+        s = pastix_tpu.Pastix(
+            B, PastixConfig(factorization=Factorization.LU, fast_solve=fast)
+        )
+        xs[fast] = s.solve(bb, refine=False)
+    np.testing.assert_allclose(xs[True], xs[False], rtol=1e-4, atol=1e-5)
