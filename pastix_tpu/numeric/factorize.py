@@ -103,6 +103,8 @@ def _unroll_tables(lv, use_pallas: bool = False):
         "tp": np.asarray(lv.trsm_panel),
         "td": np.asarray(lv.trsm_diag),
         "tc": np.asarray(lv.trsm_col),
+        # panel's column position within this level (for fast TRSM)
+        "tcpos": np.searchsorted(lv.cols, lv.trsm_col).astype(np.int32),
         "ga": np.asarray(lv.gemm_a),
         "gb": np.asarray(lv.gemm_b),
         "gd": np.asarray(lv.gemm_d),
@@ -124,12 +126,22 @@ def _unroll_tables(lv, use_pallas: bool = False):
 
 
 def _scan_tables(g):
+    # per-row searchsorted: cols/trsm_col are (nlev, m) stacks
+    tcpos = np.stack(
+        [
+            np.searchsorted(c, tc).astype(np.int32)
+            for c, tc in zip(g.cols, g.trsm_col)
+        ]
+    )
+    # clamp padded entries (OOB columns) into range
+    tcpos = np.minimum(tcpos, g.cols.shape[1] - 1).astype(np.int32)
     return {
         "cols": np.asarray(g.cols),
         "diag": np.asarray(g.diag),
         "tp": np.asarray(g.trsm_panel),
         "td": np.asarray(g.trsm_diag),
         "tc": np.asarray(g.trsm_col),
+        "tcpos": tcpos,
         "ga": np.asarray(g.gemm_a),
         "gb": np.asarray(g.gemm_b),
         "gd": np.asarray(g.gemm_d),
@@ -201,8 +213,23 @@ def build_factorize_fn(
             diag = K.potrf_batch(jnp.tril(pool[t["diag"]]), hermitian=hermitian)
             pool = pool.at[t["diag"]].set(diag)
             if t["tp"].size:
-                panels = K.trsm_llt(
-                    pool[t["tp"]], pool[t["td"]], hermitian=hermitian
+                # panel TRSM as a matmul with the level's inverted diagonals
+                # (one T-step loop per level instead of two; the nt-batch
+                # triangular loop becomes an MXU gemm)
+                eye = jnp.broadcast_to(
+                    jnp.eye(T, dtype=pool.dtype),
+                    (t["diag"].shape[0], T, T),
+                )
+                dinv = lax.linalg.triangular_solve(
+                    diag, eye, left_side=True, lower=True
+                )
+                inv_p = dinv[t["tcpos"]]
+                if hermitian and jnp.iscomplexobj(pool):
+                    inv_p = jnp.conj(inv_p)
+                panels = jnp.einsum(
+                    "bij,bkj->bik", pool[t["tp"]], inv_p,
+                    preferred_element_type=pool.dtype,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
                 pool = pool.at[t["tp"]].set(panels)
             if "p_full" in t and not jnp.iscomplexobj(pool):

@@ -81,31 +81,39 @@ def main():
         except Exception as e:
             log(f"[fact T={T} pallas={pallas}] FAILED: {str(e)[:200]}")
 
-    # solve timing at T=128
+    # solve timing (classic vs fast) at T=64
     try:
-        s, pool = prep(128)
+        from pastix_tpu.numeric.factorize import build_diag_inverse_fn
+        from pastix_tpu.solve import build_solve_fn_inv, blocks_to_rhs
+
+        s, pool = prep(64)
         lay = s.layout
         fact = build_factorize_fn(
             lay, Factorization.LLT, use_pallas=False, donate=False
         )
         fpool = fact(pool)
         sync(fpool)
-        solv = build_solve_fn(lay, Factorization.LLT)
         b = s._A_perm @ np.ones(s._ext_n)
         bb = jnp.asarray(rhs_to_blocks(lay, b, dtype=np.float32))
-        t = time_fn(solv, fpool, bb)
-        log(f"[solve T=128 nrhs=1] {1e3 * t:.1f} ms")
-        # correctness of the pallas-factored pool
-        from pastix_tpu.solve import blocks_to_rhs
 
-        x = blocks_to_rhs(lay, np.asarray(solv(fpool, bb)))[:, 0]
+        solv = build_solve_fn(lay, Factorization.LLT)
+        t = time_fn(solv, fpool, bb)
+        log(f"[solve classic T=64 nrhs=1] {1e3 * t:.1f} ms")
+
+        dinv = build_diag_inverse_fn(lay, Factorization.LLT)(fpool)
+        sync(dinv)
+        solv_f = build_solve_fn_inv(lay, Factorization.LLT)
+        tf = time_fn(solv_f, fpool, dinv, bb)
+        log(f"[solve fast    T=64 nrhs=1] {1e3 * tf:.1f} ms")
+
+        x = blocks_to_rhs(lay, np.asarray(solv_f(fpool, dinv, bb)))[:, 0]
         r = np.linalg.norm(b - s._A_perm @ x) / np.linalg.norm(b)
-        log(f"[fact residual (no refine)] {r:.2e}")
+        log(f"[fast-solve residual (no refine)] {r:.2e}")
         bb16 = jnp.asarray(
             rhs_to_blocks(lay, np.tile(b[:, None], (1, 16)), dtype=np.float32)
         )
-        t16 = time_fn(solv, fpool, bb16)
-        log(f"[solve T=128 nrhs=16] {1e3 * t16:.1f} ms")
+        t16 = time_fn(solv_f, fpool, dinv, bb16)
+        log(f"[solve fast    T=64 nrhs=16] {1e3 * t16:.1f} ms")
     except Exception as e:
         log(f"[solve] FAILED: {str(e)[:200]}")
 
