@@ -229,7 +229,7 @@ def build_factorize_fn(
                 panels = jnp.einsum(
                     "bij,bkj->bik", pool[t["tp"]], inv_p,
                     preferred_element_type=pool.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=K.matmul_precision(),
                 )
                 pool = pool.at[t["tp"]].set(panels)
             if "p_full" in t and not jnp.iscomplexobj(pool):

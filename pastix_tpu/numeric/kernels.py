@@ -23,6 +23,22 @@ import jax.numpy as jnp
 from jax import lax
 
 
+import os as _os
+
+# MXU passes for fp32 matmuls: "highest" = 6-pass bf16 (exact-ish fp32),
+# "high" = 3-pass (~1e-6 relative; refinement closes the gap — the default
+# trade for a solver whose contract already includes refinement).
+_PREC = {
+    "high": lax.Precision.HIGH,
+    "highest": lax.Precision.HIGHEST,
+    "default": lax.Precision.DEFAULT,
+}[_os.environ.get("PASTIX_MATMUL_PRECISION", "high")]
+
+
+def matmul_precision():
+    return _PREC
+
+
 def _conj(x: jax.Array, hermitian: bool) -> jax.Array:
     return jnp.conj(x) if (hermitian and jnp.iscomplexobj(x)) else x
 
@@ -219,7 +235,7 @@ def gemm_scatter(
         b = b.astype(update_dtype)
     contrib = jnp.einsum(
         "bij,bkj->bik", a, b, preferred_element_type=pool.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PREC,
     ).astype(pool.dtype)
     return pool.at[gd].add(-contrib)
 
@@ -241,6 +257,6 @@ def gemm_scatter_ab(
         b = b.astype(update_dtype)
     contrib = jnp.einsum(
         "bij,bkj->bik", a, b, preferred_element_type=dst_pool.dtype,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_PREC,
     ).astype(dst_pool.dtype)
     return dst_pool.at[gd].add(-contrib)

@@ -139,7 +139,7 @@ def build_sharded_factorize_llt(
             contrib = jnp.einsum(
                 "bij,bkj->bik", pool[ga], pool[gb],
                 preferred_element_type=pool.dtype,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=K.matmul_precision(),
             )
             acc = jnp.zeros((ntouch + 1, T, T), pool.dtype)
             acc = acc.at[gp].add(contrib)
@@ -223,7 +223,7 @@ def build_sharded_factorize_ldlt(
                 contrib = jnp.einsum(
                     "bij,bkj->bik", a, b,
                     preferred_element_type=pool.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=K.matmul_precision(),
                 )
                 acc = jnp.zeros((t["ntouch"] + 1, T, T), pool.dtype)
                 acc = acc.at[gp].add(contrib)
@@ -300,7 +300,7 @@ def build_sharded_factorize_lu(
                 c = jnp.einsum(
                     "bij,bkj->bik", pool[ga], pool_u[gb],
                     preferred_element_type=pool.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=K.matmul_precision(),
                 )
                 acc = jnp.zeros((t["ntouch"] + 1, T, T), pool.dtype)
                 acc = acc.at[gp].add(c)
@@ -311,7 +311,7 @@ def build_sharded_factorize_lu(
                     cu = jnp.einsum(
                         "bij,bkj->bik", pool_u[ga], pool[gb],
                         preferred_element_type=pool.dtype,
-                        precision=jax.lax.Precision.HIGHEST,
+                        precision=K.matmul_precision(),
                     )
                     accu = jnp.zeros((t["ntouch_u"] + 1, T, T), pool.dtype)
                     accu = accu.at[gpu].add(cu)

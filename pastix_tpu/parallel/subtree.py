@@ -292,7 +292,7 @@ def build_subtree_factorize_llt(
             contrib = jnp.einsum(
                 "bij,bkj->bik", buf[ga], buf[gb],
                 preferred_element_type=buf.dtype,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=K.matmul_precision(),
             )
             buf = buf.at[gd].add(-contrib)
 
@@ -322,7 +322,7 @@ def build_subtree_factorize_llt(
                 contrib = jnp.einsum(
                     "bij,bkj->bik", pool[ga], pool[gb],
                     preferred_element_type=pool.dtype,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=K.matmul_precision(),
                 )
                 acc2 = jnp.zeros((t["ntouch"] + 1, T, T), pool.dtype)
                 acc2 = acc2.at[gp].add(contrib)

@@ -21,7 +21,8 @@ from pastix_tpu.analyze.layout import SolverLayout
 from pastix_tpu.config import Factorization
 from pastix_tpu.numeric.factorize import Factors
 
-_HI = jax.lax.Precision.HIGHEST
+from pastix_tpu.numeric.kernels import matmul_precision
+_HI = matmul_precision()
 
 
 def _solve_plan(layout: SolverLayout):
