@@ -99,6 +99,144 @@ class SolverLayout:
         return pool * (2 if lu else 1) + tables
 
 
+@dataclasses.dataclass
+class DenseTail:
+    """Dense terminal block plan (the top-of-etree critical-path fix).
+
+    The last ``q`` block-columns of an ND-ordered factor form a fully
+    dense lower-triangular tile pattern (the top separators interconnect
+    densely).  Chaining them as per-tile-column levels puts O(q)
+    sequential small kernels on the critical path (the reference's 2D
+    block distribution exists for the same reason — SURVEY.md §2 row 7 /
+    hard part 3).  Instead: skip their level tasks, let earlier columns
+    scatter updates into their tiles as usual, then factor the trailing
+    (m, m) Schur complement with ONE dense blocked Cholesky and scatter
+    the factor back into the pool — the solve path is unchanged.
+    """
+
+    s: int  # first tail block-column
+    q: int  # number of tail block-columns
+    m: int  # q * T
+    p_idx: np.ndarray  # int32[B] pool indices of tail tiles (I >= J)
+    qi: np.ndarray  # int32[B] tile row within tail (I - s)
+    qj: np.ndarray  # int32[B] tile col within tail (J - s)
+    levels_lo: list  # LevelTables filtered to cols < s (factorization plan)
+
+
+def _filter_level(lv: LevelTables, s: int) -> Optional[LevelTables]:
+    """Restrict a level's tasks to generating columns < s (updates into
+    tiles >= s are kept: they are produced by columns < s)."""
+    cm = lv.cols < s
+    if not cm.any():
+        return None
+    tm = lv.trsm_col < s
+    gm = lv.gemm_k < s
+    return LevelTables(
+        cols=lv.cols[cm],
+        diag=lv.diag[cm],
+        trsm_panel=lv.trsm_panel[tm],
+        trsm_diag=lv.trsm_diag[tm],
+        trsm_row=lv.trsm_row[tm],
+        trsm_col=lv.trsm_col[tm],
+        gemm_a=lv.gemm_a[gm],
+        gemm_b=lv.gemm_b[gm],
+        gemm_d=lv.gemm_d[gm],
+        gemm_k=lv.gemm_k[gm],
+        gemm_nondiag=lv.gemm_nondiag[gm],
+    )
+
+
+def plan_dense_tail(layout: SolverLayout, min_q: int = 4,
+                    max_m: int = 1 << 15) -> Optional[DenseTail]:
+    """Find the largest fully-dense block-column suffix and build the plan.
+
+    Returns None when the suffix is shorter than ``min_q`` tiles (the
+    dense detour would not pay for itself).  ``max_m`` caps the dense
+    matrix size (memory: m^2 elements live transiently)."""
+    nbc, T = layout.nbc, layout.T
+    # tiles per column in the suffix: column J is "dense" iff it has a
+    # stored tile for every row J..nbc-1
+    col_ptr = np.searchsorted(layout.blk_col, np.arange(nbc + 1))
+    counts = np.diff(col_ptr)
+    dense_col = counts == (nbc - np.arange(nbc))
+    q = 0
+    while q < nbc and dense_col[nbc - 1 - q]:
+        q += 1
+    q = min(q, max_m // T)
+    if q < min_q:
+        return None
+    s = nbc - q
+    II, JJ = np.tril_indices(q)
+    p_idx = layout.lookup(II + s, JJ + s).astype(np.int32)
+    levels_lo = []
+    for lv in layout.levels:
+        f = _filter_level(lv, s)
+        if f is not None:
+            levels_lo.append(f)
+    return DenseTail(
+        s=s, q=q, m=q * T,
+        p_idx=p_idx,
+        qi=II.astype(np.int32),
+        qj=JJ.astype(np.int32),
+        levels_lo=levels_lo,
+    )
+
+
+def _densify_tail(
+    blk_row: np.ndarray,
+    blk_col: np.ndarray,
+    level_of_col: np.ndarray,
+    nbc: int,
+    frac: float,
+    max_m_tiles: int,
+):
+    """Relaxed terminal amalgamation: add explicit-zero tiles so the largest
+    affordable block-column suffix becomes fully dense (then plan_dense_tail
+    factors it with one dense Cholesky).  A suffix qualifies while the added
+    tiles stay under ``frac`` of its dense size.  The fill keeps the
+    closure property (new tiles live only in the suffix, whose targets are
+    all present), so the level tables remain valid; levels are recomputed.
+    """
+    col_ptr = np.searchsorted(blk_col, np.arange(nbc + 1))
+    counts = np.diff(col_ptr)
+    dense_cnt = nbc - np.arange(nbc)  # tiles J..nbc-1
+    missing = dense_cnt - counts
+    # scan suffixes from the end: largest q with cum(missing) <= frac * cum(dense)
+    s_best = nbc
+    miss_cum = 0
+    dense_cum = 0
+    for J in range(nbc - 1, -1, -1):
+        miss_cum += missing[J]
+        dense_cum += dense_cnt[J]
+        if nbc - J > max_m_tiles:
+            break
+        if miss_cum <= frac * dense_cum:
+            s_best = J
+    if s_best >= nbc or missing[s_best:].sum() == 0:
+        return blk_row, blk_col, level_of_col, 0
+    add_r, add_c = [], []
+    for J in range(s_best, nbc):
+        have = blk_row[col_ptr[J] : col_ptr[J + 1]]
+        want = np.arange(J, nbc, dtype=np.int64)
+        miss = np.setdiff1d(want, have, assume_unique=True)
+        if miss.size:
+            add_r.append(miss)
+            add_c.append(np.full(miss.size, J, np.int64))
+    n_added = int(sum(a.size for a in add_r))
+    blk_row = np.concatenate([blk_row] + add_r)
+    blk_col = np.concatenate([blk_col] + add_c)
+    order = np.argsort(blk_col * np.int64(nbc) + blk_row, kind="stable")
+    blk_row, blk_col = blk_row[order], blk_col[order]
+    # recompute the level schedule on the merged pattern (one pass)
+    level = np.zeros(nbc, dtype=np.int64)
+    ptr = np.searchsorted(blk_col, np.arange(nbc + 1))
+    for J in range(nbc):
+        off = blk_row[ptr[J] + 1 : ptr[J + 1]]
+        if off.size:
+            np.maximum.at(level, off, level[J] + 1)
+    return blk_row, blk_col, level, n_added
+
+
 def build_layout(
     pattern: sp.csc_matrix,
     T: int,
@@ -106,6 +244,7 @@ def build_layout(
     schur_first_bcol: int | None = None,
     incomplete: bool = False,
     level_of_fill: int = 1,
+    densify_tail_frac: float = 0.0,
 ) -> SolverLayout:
     """Build the static plan from the *permuted* full symmetric pattern.
 
@@ -124,6 +263,11 @@ def build_layout(
         )
     else:
         blk_row, blk_col, level_of_col, nbc = tile_symbolic(pattern, T)
+    if densify_tail_frac > 0 and schur_first_bcol is None and not incomplete:
+        blk_row, blk_col, level_of_col, _ = _densify_tail(
+            blk_row, blk_col, level_of_col, nbc,
+            densify_tail_frac, max_m_tiles=(1 << 15) // T,
+        )
     keys = blk_col * np.int64(nbc) + blk_row
     # tile_symbolic emits sorted by (col,row) already; assert & keep
     assert np.all(np.diff(keys) > 0)

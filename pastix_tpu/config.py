@@ -117,6 +117,14 @@ class PastixConfig:
     # (pivots with |d| < threshold * ||A|| are clamped; count reported
     #  like IPARM_STATIC_PIVOTING)
 
+    dense_tail: bool = True  # factor the fully-dense trailing block-column
+    # suffix (top separators) with ONE dense blocked Cholesky instead of a
+    # per-tile-column level chain — removes O(q) sequential kernels from
+    # the critical path (the reference's 2D-distribution analog; LLT only)
+    dense_tail_fill: float = 0.25  # relaxed terminal amalgamation: add
+    # explicit-zero tiles (up to this fraction of the suffix's dense size)
+    # to extend the dense tail past the strictly-dense region
+
     # --- solve / refinement (phases 5-6) ---
     fast_solve: bool = True  # precompute diag-tile inverses: solve sweeps
     # become pure matmuls (MXU) instead of per-level triangular loops
@@ -300,6 +308,7 @@ class SolveReport:
     tile_size: int = 0
     n_tiles: int = 0
     n_levels: int = 0
+    dense_tail_m: int = 0  # width of the dense terminal block (0 = off)
     padding_waste: float = 0.0  # padded/useful flop ratio - 1
     memory_bytes: int = 0  # pastix_getMemoryUsage analog (device pools)
 

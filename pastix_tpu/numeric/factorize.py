@@ -157,6 +157,7 @@ def build_factorize_fn(
     use_pallas: Optional[bool] = None,
     hermitian: Optional[bool] = None,
     donate: bool = False,
+    dense_tail=None,
 ):
     """Emit the jitted factorization program for this pattern.
 
@@ -198,14 +199,42 @@ def build_factorize_fn(
     if use_pallas:
         from pastix_tpu.numeric.pallas_kernels import gemm_scatter_fused
 
+    # dense terminal block (analyze/layout.plan_dense_tail): supported for
+    # LLT with hermitian/real semantics (lax.linalg.cholesky); other kinds
+    # keep the per-tile-column level chain for now
+    if dense_tail is not None and not (
+        kind == Factorization.LLT and hermitian
+    ):
+        dense_tail = None
+    levels = dense_tail.levels_lo if dense_tail is not None else layout.levels
+
     plan = [
         (
             tag,
             _unroll_tables(g, use_pallas) if tag == "unroll" else _scan_tables(g),
         )
-        for tag, g in group_levels(layout.levels, layout.npool, layout.nbc)
+        for tag, g in group_levels(levels, layout.npool, layout.nbc)
     ]
     nbc, T = layout.nbc, layout.T
+
+    if dense_tail is not None:
+        t_p = np.asarray(dense_tail.p_idx)
+        t_qi = np.asarray(dense_tail.qi)
+        t_qj = np.asarray(dense_tail.qj)
+        tq = dense_tail.q
+
+        def tail_factor(pool):
+            # gather the trailing Schur complement into one dense (m, m)
+            # matrix (missing upper tiles stay zero; cholesky reads lower
+            # only), factor it with XLA's blocked kernel, scatter back
+            tiles = pool[t_p]
+            dense = jnp.zeros((tq, T, tq, T), pool.dtype)
+            dense = dense.at[t_qi, :, t_qj, :].set(tiles)
+            L = lax.linalg.cholesky(
+                dense.reshape(tq * T, tq * T), symmetrize_input=False
+            )
+            Lt = L.reshape(tq, T, tq, T)[t_qi, :, t_qj, :]
+            return pool.at[t_p].set(Lt)
 
     if kind == Factorization.LLT:
 
@@ -254,6 +283,8 @@ def build_factorize_fn(
                         return llt_level(pool, x), None
 
                     pool, _ = lax.scan(body, pool, t)
+            if dense_tail is not None:
+                pool = tail_factor(pool)
             return pool
 
         return jax.jit(fact_llt, donate_argnums=(0,) if donate else ())

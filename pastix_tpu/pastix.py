@@ -323,6 +323,13 @@ class Pastix:
         if self.symbol_ is None:
             self.symbfact()
         t0 = time.perf_counter()
+        use_tail = (
+            cfg.dense_tail
+            and cfg.factorization == Factorization.LLT
+            and self._hermitian
+            and self._schur_first_bcol is None
+            and not cfg.incomplete
+        )
         self.layout = build_layout(
             self._pat_perm_ext,
             self._tile_size,
@@ -330,13 +337,20 @@ class Pastix:
             schur_first_bcol=self._schur_first_bcol,
             incomplete=cfg.incomplete,
             level_of_fill=cfg.level_of_fill,
+            densify_tail_frac=cfg.dense_tail_fill if use_tail else 0.0,
         )
         upd = np.dtype(cfg.update_dtype).type if cfg.update_dtype else None
+        self._dense_tail = None
+        if use_tail:
+            from pastix_tpu.analyze.layout import plan_dense_tail
+
+            self._dense_tail = plan_dense_tail(self.layout)
         self._fact_fn = build_factorize_fn(
             self.layout, cfg.factorization, update_dtype=upd,
             hermitian=self._hermitian,
             donate=True,  # the A-valued pool is rebuilt per factorization:
             # donating halves peak device memory (pools are GBs at scale)
+            dense_tail=self._dense_tail,
         )
         self._solve_fn = solve_mod.build_solve_fn(
             self.layout, cfg.factorization, hermitian=self._hermitian
@@ -356,7 +370,14 @@ class Pastix:
         self._trace_phase("analyze", t0)
         self.report.tile_size = self.layout.T
         self.report.n_tiles = self.layout.npool
-        self.report.n_levels = len(self.layout.levels)
+        self.report.n_levels = (
+            len(self._dense_tail.levels_lo) + 1
+            if self._dense_tail is not None
+            else len(self.layout.levels)
+        )
+        self.report.dense_tail_m = (
+            self._dense_tail.m if self._dense_tail is not None else 0
+        )
         self.report.nnz_l = self.layout.npool * self.layout.T * self.layout.T
         self.report.fact_flops_padded = self.layout.padded_flops(
             "lu" if cfg.factorization == Factorization.LU else "llt"
