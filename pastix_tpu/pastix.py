@@ -353,7 +353,8 @@ class Pastix:
             dense_tail=self._dense_tail,
         )
         self._solve_fn = solve_mod.build_solve_fn(
-            self.layout, cfg.factorization, hermitian=self._hermitian
+            self.layout, cfg.factorization, hermitian=self._hermitian,
+            dense_tail=self._dense_tail,
         )
         if cfg.fast_solve:
             from pastix_tpu.numeric.factorize import build_diag_inverse_fn
@@ -362,7 +363,8 @@ class Pastix:
                 self.layout, cfg.factorization, hermitian=self._hermitian
             )
             self._solve_fn_inv = solve_mod.build_solve_fn_inv(
-                self.layout, cfg.factorization, hermitian=self._hermitian
+                self.layout, cfg.factorization, hermitian=self._hermitian,
+                dense_tail=self._dense_tail,
             )
         else:
             self._dinv_fn = self._solve_fn_inv = None

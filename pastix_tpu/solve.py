@@ -25,7 +25,7 @@ from pastix_tpu.numeric.kernels import matmul_precision
 _HI = matmul_precision()
 
 
-def _solve_plan(layout: SolverLayout):
+def _solve_plan(layout: SolverLayout, dense_tail=None):
     """Unroll/scan plan with only the solve-relevant fields."""
     from pastix_tpu.numeric.grouping import group_levels
 
@@ -47,10 +47,41 @@ def _solve_plan(layout: SolverLayout):
             "tc": np.asarray(g.trsm_col),
         }
 
+    levels = dense_tail.levels_lo if dense_tail is not None else layout.levels
     return [
         (tag, conv_unroll(g) if tag == "unroll" else conv_scan(g))
-        for tag, g in group_levels(layout.levels, layout.npool, layout.nbc)
+        for tag, g in group_levels(levels, layout.npool, layout.nbc)
     ]
+
+
+def _tail_ops(layout: SolverLayout, dense_tail, hermitian: bool):
+    """Dense terminal block solve: gather the tail factor once, then the
+    forward/backward sweeps over its columns are ONE dense triangular
+    solve each (instead of O(q) per-tile-column levels)."""
+    t_p = np.asarray(dense_tail.p_idx)
+    t_qi = np.asarray(dense_tail.qi)
+    t_qj = np.asarray(dense_tail.qj)
+    q, s, T = dense_tail.q, dense_tail.s, layout.T
+
+    def gather(pool):
+        dense = jnp.zeros((q, T, q, T), pool.dtype)
+        dense = dense.at[t_qi, :, t_qj, :].set(pool[t_p])
+        return dense.reshape(q * T, q * T)
+
+    def fwd(L, y):
+        yt = y[s:].reshape(q * T, -1)
+        sol = lax.linalg.triangular_solve(L, yt, left_side=True, lower=True)
+        return y.at[s:].set(sol.reshape(q, T, -1))
+
+    def bwd(L, x):
+        xt = x[s:].reshape(q * T, -1)
+        sol = lax.linalg.triangular_solve(
+            L, xt, left_side=True, lower=True, transpose_a=True,
+            conjugate_a=hermitian,
+        )
+        return x.at[s:].set(sol.reshape(q, T, -1))
+
+    return gather, fwd, bwd
 
 
 def _fwd_level(pool, y, t, unit):
@@ -118,17 +149,36 @@ def _run_bwd(plan, pool_contrib, pool_diag, x, lower_t, unit, conj=False):
 
 
 def build_solve_fn(layout: SolverLayout, kind: Factorization,
-                   hermitian: Optional[bool] = None):
+                   hermitian: Optional[bool] = None, dense_tail=None):
     """Jitted solve program.
 
     Signatures: LLT fn(pool, b); LDLT fn(pool, d, b); LU fn(pool, pool_u, b).
     ``hermitian`` mirrors build_factorize_fn (backward sweep uses L^H).
+    ``dense_tail``: the factorization's dense terminal block plan — the
+    tail's sweeps become one dense triangular solve each (LLT only).
     """
-    plan = _solve_plan(layout)
+    if dense_tail is not None and not (
+        kind == Factorization.LLT and hermitian in (None, True)
+    ):
+        dense_tail = None
+    plan = _solve_plan(layout, dense_tail)
     if hermitian is None:
         hermitian = kind in (Factorization.LLT, Factorization.LDLH)
 
     if kind == Factorization.LLT:
+        if dense_tail is not None:
+            gather, tfwd, tbwd = _tail_ops(layout, dense_tail, hermitian)
+
+            def solve_llt_tail(pool, b):
+                y = _run_fwd(plan, pool, b, unit=False)
+                Ltail = gather(pool)
+                y = tbwd(Ltail, tfwd(Ltail, y))
+                return _run_bwd(
+                    plan, pool, pool, y, lower_t=True, unit=False,
+                    conj=hermitian,
+                )
+
+            return jax.jit(solve_llt_tail)
 
         def solve_llt(pool, b):
             y = _run_fwd(plan, pool, b, unit=False)
@@ -334,18 +384,32 @@ def _run_bwd_inv(plan, pool_contrib, dinv, x, transpose_d, conj=False):
 
 
 def build_solve_fn_inv(layout: SolverLayout, kind: Factorization,
-                       hermitian: Optional[bool] = None):
+                       hermitian: Optional[bool] = None, dense_tail=None):
     """Jitted fast solve using precomputed diagonal-tile inverses
     (factorize.build_diag_inverse_fn).  Signatures:
       LLT : fn(pool, dinv, b)
       LDLT: fn(pool, dinv, d, b)
       LU  : fn(pool, pool_u, dinv_l, dinv_u, b)
     """
-    plan = _solve_plan(layout)
+    if dense_tail is not None and not (
+        kind == Factorization.LLT and hermitian in (None, True)
+    ):
+        dense_tail = None
+    plan = _solve_plan(layout, dense_tail)
     if hermitian is None:
         hermitian = kind in (Factorization.LLT, Factorization.LDLH)
 
     if kind == Factorization.LLT:
+        if dense_tail is not None:
+            gather, tfwd, tbwd = _tail_ops(layout, dense_tail, hermitian)
+
+            def solve_llt_tail(pool, dinv, b):
+                y = _run_fwd_inv(plan, pool, dinv, b)
+                Ltail = gather(pool)
+                y = tbwd(Ltail, tfwd(Ltail, y))
+                return _run_bwd_inv(plan, pool, dinv, y, True, conj=hermitian)
+
+            return jax.jit(solve_llt_tail)
 
         def solve_llt(pool, dinv, b):
             y = _run_fwd_inv(plan, pool, dinv, b)
