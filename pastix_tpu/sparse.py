@@ -116,6 +116,19 @@ class SparseMatrix:
         )
 
 
+def isolate_zero_diagonals(A) -> np.ndarray:
+    """Indices of unknowns with a zero (or structurally absent) diagonal.
+
+    The reference's ``isolate_zeros`` workflow (src/example/src/
+    isolate_zeros.c): such unknowns break unpivoted LL^T/LDL^T panels, so
+    the caller marks them as Schur unknowns — they are ordered last, left
+    unfactored, and handled by the dense Schur solve.
+    """
+    As = A.to_scipy() if isinstance(A, SparseMatrix) else sp.csc_matrix(A)
+    d = As.diagonal()
+    return np.flatnonzero(d == 0).astype(np.int64)
+
+
 def check_matrix(
     n: int,
     colptr: np.ndarray,

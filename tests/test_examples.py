@@ -56,3 +56,13 @@ def test_reentrant():
 def test_murge_assembly():
     out = _run("murge_assembly.py")
     assert "assembled n=200" in out
+
+
+def test_isolate_zeros():
+    out = _run("isolate_zeros.py")
+    assert "isolate-zeros residual" in out
+
+
+def test_simple_dist():
+    out = _run("simple_dist.py")
+    assert "max error" in out
