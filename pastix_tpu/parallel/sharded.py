@@ -27,10 +27,10 @@ from pastix_tpu.analyze.layout import SolverLayout
 from pastix_tpu.numeric import kernels as K
 
 
-def _shard_tables(layout: SolverLayout, ndev: int):
+def _shard_tables(layout: SolverLayout, ndev: int, levels=None):
     """Per-level: device-partitioned gemm triples + touched-tile lists."""
     tabs = []
-    for lv in layout.levels:
+    for lv in layout.levels if levels is None else levels:
         ng = lv.gemm_a.size
         touched, pos = (
             np.unique(lv.gemm_d, return_inverse=True)
@@ -96,14 +96,16 @@ def _stack_shard_tables(run, npool: int):
     }
 
 
-def _shard_plan(layout: SolverLayout, ndev: int):
+def _shard_plan(layout: SolverLayout, ndev: int, levels=None):
     """("unroll", tab) / ("scan", stacked tab) plan for the sharded path —
     same level partition as the single-device programs (grouping.py)."""
     from pastix_tpu.numeric.grouping import group_plan
 
-    tabs = _shard_tables(layout, ndev)
+    if levels is None:
+        levels = layout.levels
+    tabs = _shard_tables(layout, ndev, levels)
     plan = []
-    for tag, item in group_plan(layout.levels):
+    for tag, item in group_plan(levels):
         if tag == "unroll":
             plan.append(("unroll", tabs[item]))
         else:
@@ -114,14 +116,37 @@ def _shard_plan(layout: SolverLayout, ndev: int):
 
 
 def build_sharded_factorize_llt(
-    layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp"
+    layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp", dense_tail=None
 ):
     """Jitted multi-device LL^T factorization (pool replicated, GEMM work
     sharded over ``tp_axis``, per-level psum fan-in).  Heavy levels are
-    unrolled; runs of small levels scan over stacked padded tables."""
+    unrolled; runs of small levels scan over stacked padded tables.
+
+    ``dense_tail``: dense terminal block plan — the tail's level chain is
+    replaced by one dense Cholesky, computed replicated on every device
+    (it sits on the sequential critical path; a 2D-sharded dense panel
+    factor is the M6 follow-up)."""
     ndev = mesh.shape[tp_axis]
-    plan = _shard_plan(layout, ndev)
+    plan = _shard_plan(
+        layout, ndev,
+        dense_tail.levels_lo if dense_tail is not None else None,
+    )
     T = layout.T
+
+    if dense_tail is not None:
+        t_p = np.asarray(dense_tail.p_idx)
+        t_qi = np.asarray(dense_tail.qi)
+        t_qj = np.asarray(dense_tail.qj)
+        tq = dense_tail.q
+
+        def tail_factor(pool):
+            dense = jnp.zeros((tq, T, tq, T), pool.dtype)
+            dense = dense.at[t_qi, :, t_qj, :].set(pool[t_p])
+            L = lax.linalg.cholesky(
+                dense.reshape(tq * T, tq * T), symmetrize_input=False
+            )
+            Lt = L.reshape(tq, T, tq, T)[t_qi, :, t_qj, :]
+            return pool.at[t_p].set(Lt)
 
     def level(pool, t, me, ntouch):
         diag = K.potrf_batch(jnp.tril(pool[t["diag"]]))
@@ -159,6 +184,8 @@ def build_sharded_factorize_llt(
                     return level(pool, x, me, nt), None
 
                 pool, _ = lax.scan(body, pool, {k: v for k, v in t.items() if k != "ntouch"})
+        if dense_tail is not None:
+            pool = tail_factor(pool)
         return pool
 
     fn = jax.shard_map(
@@ -331,13 +358,14 @@ def build_sharded_factorize_lu(
     return jax.jit(fn)
 
 
-def build_sharded_solve(layout: SolverLayout, mesh: Mesh, dp_axis: str = "dp"):
+def build_sharded_solve(layout: SolverLayout, mesh: Mesh, dp_axis: str = "dp",
+                        dense_tail=None):
     """Jitted multi-device LL^T solve: RHS batch sharded over ``dp_axis``
     (independent systems — the data-parallel axis), factor replicated."""
     from pastix_tpu.solve import build_solve_fn
     from pastix_tpu.config import Factorization
 
-    inner = build_solve_fn(layout, Factorization.LLT)
+    inner = build_solve_fn(layout, Factorization.LLT, dense_tail=dense_tail)
 
     fn = jax.shard_map(
         lambda pool, b: inner(pool, b),

@@ -65,6 +65,28 @@ def test_sharded_llt_solve_end_to_end(mesh):
     assert res < 1e-4
 
 
+def test_sharded_llt_dense_tail(mesh):
+    """Sharded factorization + solve with the dense terminal block."""
+    A, solver, pool0 = _problem()
+    layout = solver.layout
+    dt = solver._dense_tail
+    assert dt is not None
+    fact = build_sharded_factorize_llt(
+        layout, mesh, tp_axis="tp", dense_tail=dt
+    )
+    solv = build_sharded_solve(layout, mesh, dp_axis="dp", dense_tail=dt)
+    n_ext = solver._ext_n
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((n_ext, 4))
+    B = solver._A_perm @ X
+    with mesh:
+        pool = fact(jnp.asarray(pool0))
+        xb = solv(pool, jnp.asarray(rhs_to_blocks(layout, B, dtype=np.float32)))
+    Xs = blocks_to_rhs(layout, np.asarray(xb))
+    res = np.linalg.norm(B - solver._A_perm @ Xs) / np.linalg.norm(B)
+    assert res < 1e-4
+
+
 def test_sharded_ldlt_matches_single_device(mesh):
     A, solver, pool0 = _problem()
     layout = solver.layout

@@ -81,7 +81,7 @@ def main():
         A = poisson_3d(nx)
         for tail in (True, False):
             try:
-                s, pool, _ = prep(A, 64, dense_tail=tail)
+                s, pool, _ = prep(A, int(os.environ.get("EXP_T", "64")), dense_tail=tail)
                 lay = s.layout
                 fact = build_factorize_fn(
                     lay, Factorization.LLT, donate=False,
@@ -105,7 +105,7 @@ def main():
     if "solve" in stages:
         try:
             A = poisson_3d(nx)
-            s, pool, _ = prep(A, 64)
+            s, pool, _ = prep(A, int(os.environ.get("EXP_T", "64")))
             lay = s.layout
             fact = build_factorize_fn(
                 lay, Factorization.LLT, donate=False, dense_tail=s._dense_tail
@@ -171,7 +171,7 @@ def main():
         sx = int(os.environ.get("EXP_BIG_NX", "100"))
         try:
             A = poisson_3d(sx)
-            s, pool, t_an = prep(A, 64)
+            s, pool, t_an = prep(A, int(os.environ.get("EXP_T", "64")))
             lay = s.layout
             fact = build_factorize_fn(
                 lay, Factorization.LLT, donate=True, dense_tail=s._dense_tail
@@ -236,15 +236,32 @@ def main():
                 rng.standard_normal((B, T, T), dtype=np.float32)
             )
 
+            LOOPS = 20
+
             def run(name, fn, *args, flops=0.0, bts=0.0):
-                f = jax.jit(fn)
-                t = time_fn(f, *args, reps=5)
+                # a single dispatch over the tunnel costs ~45 ms: measure
+                # the op looped INSIDE one jitted program and subtract a
+                # measured empty-loop baseline
+                def looped(*a):
+                    def body(i, acc):
+                        out = fn(*a)
+                        # fold a data dependence so the loop isn't DCE'd
+                        return acc + out.ravel()[0].astype(jnp.float32)
+
+                    return lax.fori_loop(0, LOOPS, body, jnp.float32(0)).reshape(
+                        1, 1, 1
+                    )
+
+                f = jax.jit(looped)
+                t = time_fn(f, *args, reps=5) / LOOPS
                 extra = ""
                 if flops:
                     extra += f"  {flops / t / 1e9:.0f} GF/s"
                 if bts:
                     extra += f"  {bts / t / 1e9:.0f} GB/s"
-                log(f"[gs {name}] {1e3 * t:.2f} ms{extra}")
+                log(f"[gs {name}] {1e3 * t:.3f} ms{extra}")
+
+            run("empty", lambda p: p[:1], pool)
 
             tile_b = B * T * T * 4.0
             run("gather_rand", lambda p, i: p[i] + 1.0, pool, idx,
