@@ -128,6 +128,10 @@ class PastixConfig:
     # --- solve / refinement (phases 5-6) ---
     fast_solve: bool = True  # precompute diag-tile inverses: solve sweeps
     # become pure matmuls (MXU) instead of per-level triangular loops
+    device_refine: bool = True  # fuse solve + Richardson refinement into
+    # one jitted device program (one host->device dispatch instead of one
+    # per iteration); the host fp64 loop finishes the descent below the
+    # fp32 floor when refinement_eps asks for more
     refinement: RefinementMethod = RefinementMethod.SIMPLE  # IPARM_REFINEMENT
     refinement_eps: float = 1e-10  # DPARM_EPSILON_REFINEMENT
     refinement_itermax: int = 250  # IPARM_ITERMAX

@@ -368,6 +368,17 @@ class Pastix:
             )
         else:
             self._dinv_fn = self._solve_fn_inv = None
+        self._devref_fn = None
+        if (
+            cfg.device_refine
+            and cfg.fast_solve
+            and cfg.factorization == Factorization.LLT
+            and not np.issubdtype(np.dtype(cfg.compute_dtype), np.complexfloating)
+        ):
+            self._devref_fn = solve_mod.build_solve_refine_fn(
+                self.layout, cfg.factorization, hermitian=self._hermitian,
+                dense_tail=self._dense_tail,
+            )
         self.report.analyze_time = time.perf_counter() - t0
         self._trace_phase("analyze", t0)
         self.report.tile_size = self.layout.T
@@ -440,6 +451,19 @@ class Pastix:
                 )
             else:
                 self.factors.dinv = self._dinv_fn(self.factors.pool)
+        if self._devref_fn is not None and not cfg.ooc:
+            # device-resident COO of A for the fused solve+refine SpMV
+            import jax.numpy as jnp
+            import scipy.sparse as _sp
+
+            Ac = _sp.coo_matrix(self._A_perm)
+            self._a_coo_dev = (
+                jnp.asarray(Ac.row.astype(np.int32)),
+                jnp.asarray(Ac.col.astype(np.int32)),
+                jnp.asarray(Ac.data.astype(dtype)),
+            )
+        else:
+            self._a_coo_dev = None
         if cfg.ooc:
             self._offload_factors()
         self.report.fact_time = time.perf_counter() - t0
@@ -550,18 +574,71 @@ class Pastix:
                 del live  # free HBM immediately after the sweep
         return self._solve_dispatch(self.factors, b_ext)
 
+    def _device_solve_refined(self, b_ext: np.ndarray):
+        """Fused device solve + Richardson refinement: one dispatch total.
+
+        Returns (x_ext, device_iters).  The caller checks the true fp64
+        residual and continues on the host if eps asks for more than the
+        fp32 device floor."""
+        import jax.numpy as jnp
+
+        cfg = self.config
+        lay = self.layout
+        dt = np.dtype(cfg.compute_dtype)
+        bb = jnp.asarray(solve_mod.rhs_to_blocks(lay, b_ext, dtype=dt))
+        arow, acol, avals = self._a_coo_dev
+        eps_dev = np.float32(max(cfg.refinement_eps, 5e-7))
+        x, it, _ = self._devref_fn(
+            self.factors.pool, self.factors.dinv, arow, acol, avals, bb,
+            eps_dev, np.int32(min(cfg.refinement_itermax, 50)),
+        )
+        out = solve_mod.blocks_to_rhs(lay, np.asarray(x))
+        if np.asarray(b_ext).ndim == 1:
+            out = out[:, 0]
+        return out, int(it)
+
     def solve(self, b: np.ndarray, refine: Optional[bool] = None) -> np.ndarray:
         """Solve A x = b (original ordering); refinement per config."""
         cfg = self.config
         if self.factors is None:
             self.factorize()
+        do_refine = cfg.refinement != RefinementMethod.NONE if refine is None else refine
+        dev_iters = 0
         t0 = time.perf_counter()
         b_ext = self._perm_rhs(b)
-        x_ext = self._raw_solve_ext(b_ext)
-        self.report.solve_time = time.perf_counter() - t0
-        self._trace_phase("solve", t0)
-
-        do_refine = cfg.refinement != RefinementMethod.NONE if refine is None else refine
+        use_devref = (
+            self._devref_fn is not None
+            and self._a_coo_dev is not None
+            and self.factors.dinv is not None
+            and not getattr(self.factors, "_offloaded", False)
+            and do_refine
+            and cfg.refinement == RefinementMethod.SIMPLE
+        )
+        if use_devref:
+            x_ext, dev_iters = self._device_solve_refined(b_ext)
+            # converged on device (to the fp32 floor or better)? check the
+            # true fp64 residual; the host loop below finishes if needed
+            r = b_ext - self._A_perm64 @ x_ext
+            res = float(
+                np.linalg.norm(r) / max(np.linalg.norm(b_ext), 1e-300)
+            )
+            self.report.solve_time = time.perf_counter() - t0
+            self._trace_phase("solve", t0)
+            if res <= cfg.refinement_eps:
+                self.report.refine_iters = dev_iters
+                self.report.residual = res
+                self.report.refine_time = 0.0
+                if cfg.verbosity >= Verbosity.NO:
+                    print(
+                        f"[pastix-tpu] solve(fused): {self.report.solve_time:.3f}s  "
+                        f"refine: {dev_iters} device iters -> "
+                        f"residual {res:.3e}"
+                    )
+                return self._unperm_sol(x_ext)
+        else:
+            x_ext = self._raw_solve_ext(b_ext)
+            self.report.solve_time = time.perf_counter() - t0
+            self._trace_phase("solve", t0)
         if do_refine:
             t0 = time.perf_counter()
             Ap = self._A_perm64
@@ -580,7 +657,7 @@ class Pastix:
                     dtype=rdt,
                 )
                 x_ext = res.x
-                self.report.refine_iters = res.iterations
+                self.report.refine_iters = dev_iters + res.iterations
                 self.report.residual = res.residual
             elif cfg.refinement == RefinementMethod.SIMPLE:
                 # whole RHS block refined together: one factored solve per
@@ -593,7 +670,7 @@ class Pastix:
                     dtype=rdt,
                 )
                 x_ext = res.x
-                self.report.refine_iters = res.iterations
+                self.report.refine_iters = dev_iters + res.iterations
                 self.report.residual = res.residual
             else:
                 iters = 0
@@ -609,7 +686,7 @@ class Pastix:
                     cols.append(res.x)
                     iters = max(iters, res.iterations)
                 x_ext = np.stack(cols, axis=1)
-                self.report.refine_iters = iters
+                self.report.refine_iters = dev_iters + iters
                 self.report.residual = res.residual
             self.report.refine_time = time.perf_counter() - t0
             self._trace_phase("refine", t0)
