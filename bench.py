@@ -100,9 +100,9 @@ def bench():
 
     A = poisson_3d(nx)
     n = A.n
-    # T=64 is the proven-fast configuration on the remote TPU (the T=128
-    # fused-kernel path compiles too slowly through the tunnel today)
-    kw = {"tile_size": int(os.environ.get("PASTIX_BENCH_T", "64"))}
+    # T=128 measured fastest on the TPU v5e at the 48^3 bench (352 ms vs
+    # 391 ms at T=64; bigger tiles double the arithmetic intensity)
+    kw = {"tile_size": int(os.environ.get("PASTIX_BENCH_T", "128"))}
     cfg = PastixConfig(**kw)
 
     # the product pipeline (native ND + aligned tile layout)

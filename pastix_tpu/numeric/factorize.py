@@ -217,6 +217,28 @@ def build_factorize_fn(
     ]
     nbc, T = layout.nbc, layout.T
 
+    # The index tables are passed as ARGUMENTS (uploaded to the device once
+    # here), not closed over: numpy closures become HLO constants, and at
+    # 1M-dof scale hundreds of MB of embedded constants break the compiler.
+    # The Pallas tables (p_full/p_nd) stay host-static: the fused kernel's
+    # grid metadata needs concrete values.
+    plan_tags = [tag for tag, _ in plan]
+    plan_static = [
+        {k: t[k] for k in ("p_full", "p_nd") if k in t} for _, t in plan
+    ]
+    plan_tables = jax.device_put(
+        [
+            {k: v for k, v in t.items() if k not in ("p_full", "p_nd")}
+            for _, t in plan
+        ]
+    )
+
+    def plan_iter(tables):
+        return (
+            (tag, {**t, **st})
+            for tag, t, st in zip(plan_tags, tables, plan_static)
+        )
+
     if dense_tail is not None:
         t_p = np.asarray(dense_tail.p_idx)
         t_qi = np.asarray(dense_tail.qi)
@@ -273,8 +295,8 @@ def build_factorize_fn(
                 )
             return pool
 
-        def fact_llt(pool):
-            for tag, t in plan:
+        def fact_llt(pool, tables):
+            for tag, t in plan_iter(tables):
                 if tag == "unroll":
                     pool = llt_level(pool, t)
                 else:
@@ -287,7 +309,8 @@ def build_factorize_fn(
                 pool = tail_factor(pool)
             return pool
 
-        return jax.jit(fact_llt, donate_argnums=(0,) if donate else ())
+        jfn = jax.jit(fact_llt, donate_argnums=(0,) if donate else ())
+        return lambda pool: jfn(pool, plan_tables)
 
     if kind in (Factorization.LDLT, Factorization.LDLH):
 
@@ -320,10 +343,10 @@ def build_factorize_fn(
                 )
             return pool, d_arr, npiv
 
-        def fact_ldlt(pool, eps):
+        def fact_ldlt(pool, eps, tables):
             d_arr = jnp.ones((nbc, T), pool.dtype)
             npiv = jnp.int32(0)
-            for tag, t in plan:
+            for tag, t in plan_iter(tables):
                 if tag == "unroll":
                     pool, d_arr, npiv = ldlt_level(
                         (pool, d_arr, npiv), dict(t, eps=eps)
@@ -338,7 +361,8 @@ def build_factorize_fn(
                     )
             return pool, d_arr, npiv
 
-        return jax.jit(fact_ldlt, donate_argnums=(0,) if donate else ())
+        jfn = jax.jit(fact_ldlt, donate_argnums=(0,) if donate else ())
+        return lambda pool, eps: jfn(pool, eps, plan_tables)
 
     if kind == Factorization.LU:
 
@@ -401,9 +425,9 @@ def build_factorize_fn(
             )
             return pool, pool_u, npiv
 
-        def fact_lu(pool, pool_u, eps):
+        def fact_lu(pool, pool_u, eps, tables):
             npiv = jnp.int32(0)
-            for tag, t in plan:
+            for tag, t in plan_iter(tables):
                 if tag == "unroll":
                     pool, pool_u, npiv = lu_level_unroll(
                         (pool, pool_u, npiv), t, eps
@@ -418,7 +442,8 @@ def build_factorize_fn(
                     )
             return pool, pool_u, npiv
 
-        return jax.jit(fact_lu, donate_argnums=(0, 1) if donate else ())
+        jfn = jax.jit(fact_lu, donate_argnums=(0, 1) if donate else ())
+        return lambda pool, pool_u, eps: jfn(pool, pool_u, eps, plan_tables)
 
     raise ValueError(f"unsupported factorization: {kind}")
 

@@ -236,7 +236,7 @@ def main():
                 rng.standard_normal((B, T, T), dtype=np.float32)
             )
 
-            LOOPS = 20
+            LOOPS = int(os.environ.get("EXP_LOOPS", "200"))
 
             def run(name, fn, *args, flops=0.0, bts=0.0):
                 # a single dispatch over the tunnel costs ~45 ms: measure
