@@ -74,6 +74,41 @@ class SolverLayout:
 
     # --- cost/report helpers -------------------------------------------
 
+    def check(self) -> None:
+        """Invariant checker (reference solver_check.c analog).
+
+        Verifies: tile keys sorted/unique with all diagonals present; every
+        level's tasks reference valid pool slots; the level schedule is
+        causal (a panel's TRSM fires at its column's level, GEMM targets
+        exist, and every update's source column is in the firing level).
+        Raises AssertionError on violation.
+        """
+        nbc, npool = self.nbc, self.npool
+        assert np.all(np.diff(self.keys) > 0), "tile keys not sorted/unique"
+        dk = np.arange(nbc, dtype=np.int64) * nbc + np.arange(nbc)
+        assert np.isin(dk, self.keys).all(), "missing diagonal tiles"
+        assert np.all(self.blk_row >= self.blk_col), "upper tile stored"
+        seen_cols = np.zeros(nbc, dtype=bool)
+        for lev, lv in enumerate(self.levels):
+            assert (lv.diag < npool).all() and (lv.cols < nbc).all()
+            assert not seen_cols[lv.cols].any(), "column factored twice"
+            seen_cols[lv.cols] = True
+            assert (lv.trsm_panel < npool).all()
+            assert np.isin(lv.trsm_col, lv.cols).all(), "TRSM off-level"
+            assert (lv.gemm_d < npool).all(), "GEMM target missing"
+            assert np.isin(lv.gemm_k, lv.cols).all(), "GEMM source off-level"
+            # causality: an update from source column J must land in a
+            # column factored strictly LATER (level_of_col[target] >
+            # level_of_col[J]), else the target's DIAG already consumed
+            # stale values
+            tgt_col = self.blk_col[lv.gemm_d]
+            src_col = lv.gemm_k.astype(np.int64)
+            assert (
+                self.level_of_col[tgt_col] > self.level_of_col[src_col]
+            ).all(), "acausal update: target factored before source fired"
+        # NB: seen_cols may not cover every column — Schur mode leaves the
+        # terminal block-columns unfactored by design
+
     def padded_flops(self, kind: str = "llt") -> float:
         """Device flops actually executed (uniform T x T tiles)."""
         T = float(self.T)

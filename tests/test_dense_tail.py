@@ -94,6 +94,26 @@ def test_tail_disabled_for_non_llt():
     assert s._dense_tail is None
 
 
+def test_layout_check_invariants():
+    """solver_check analog: the static plan passes its invariant checker
+    in every mode, including the densified-tail pattern."""
+    import numpy as np
+
+    for cfg in (
+        PastixConfig(tile_size=16),
+        PastixConfig(tile_size=16, dense_tail=False),
+        PastixConfig(tile_size=16, factorization=Factorization.LU),
+        PastixConfig(tile_size=16, incomplete=True),
+    ):
+        s = Pastix(poisson_3d(8), cfg)
+        s.analyze()
+        s.layout.check()
+    s2 = Pastix(laplacian_2d(16), PastixConfig(tile_size=16))
+    s2.set_schur_unknowns(np.arange(240, 256))
+    s2.analyze()
+    s2.layout.check()
+
+
 def test_tail_respects_min_q():
     from pastix_tpu.analyze.layout import plan_dense_tail
 
