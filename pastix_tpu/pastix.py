@@ -372,12 +372,19 @@ class Pastix:
         if (
             cfg.device_refine
             and cfg.fast_solve
-            and cfg.factorization == Factorization.LLT
+            and cfg.refinement != RefinementMethod.NONE
             and not np.issubdtype(np.dtype(cfg.compute_dtype), np.complexfloating)
         ):
-            self._devref_fn = solve_mod.build_solve_refine_fn(
-                self.layout, cfg.factorization, hermitian=self._hermitian,
-                dense_tail=self._dense_tail,
+            # fused device solve + Krylov refinement (krylov.py): the whole
+            # refinement loop — Richardson, CG, BiCGStab or GMRES(m) — runs
+            # in one device program with the factored solve as inlined
+            # preconditioner (reference raff.c method dispatch, SURVEY §3.5)
+            from pastix_tpu.krylov import build_device_refine_fn
+
+            self._devref_fn = build_device_refine_fn(
+                self.layout, cfg.factorization, method=cfg.refinement,
+                hermitian=self._hermitian, dense_tail=self._dense_tail,
+                restart=cfg.gmres_restart,
             )
         self.report.analyze_time = time.perf_counter() - t0
         self._trace_phase("analyze", t0)
@@ -588,8 +595,15 @@ class Pastix:
         bb = jnp.asarray(solve_mod.rhs_to_blocks(lay, b_ext, dtype=dt))
         arow, acol, avals = self._a_coo_dev
         eps_dev = np.float32(max(cfg.refinement_eps, 5e-7))
+        f = self.factors
+        if cfg.factorization == Factorization.LLT:
+            fa = (f.pool, f.dinv)
+        elif cfg.factorization in (Factorization.LDLT, Factorization.LDLH):
+            fa = (f.pool, f.dinv, f.d)
+        else:
+            fa = (f.pool, f.pool_u, f.dinv, f.dinv_u)
         x, it, _ = self._devref_fn(
-            self.factors.pool, self.factors.dinv, arow, acol, avals, bb,
+            fa, arow, acol, avals, bb,
             eps_dev, np.int32(min(cfg.refinement_itermax, 50)),
         )
         out = solve_mod.blocks_to_rhs(lay, np.asarray(x))
@@ -606,13 +620,15 @@ class Pastix:
         dev_iters = 0
         t0 = time.perf_counter()
         b_ext = self._perm_rhs(b)
+        nrhs = 1 if np.asarray(b).ndim == 1 else np.asarray(b).shape[1]
         use_devref = (
             self._devref_fn is not None
             and self._a_coo_dev is not None
             and self.factors.dinv is not None
             and not getattr(self.factors, "_offloaded", False)
             and do_refine
-            and cfg.refinement == RefinementMethod.SIMPLE
+            # device GMRES carries one Krylov basis: single RHS only
+            and (cfg.refinement != RefinementMethod.GMRES or nrhs == 1)
         )
         if use_devref:
             x_ext, dev_iters = self._device_solve_refined(b_ext)

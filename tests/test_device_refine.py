@@ -1,10 +1,14 @@
-"""Fused device solve + Richardson refinement (build_solve_refine_fn):
-one dispatch replaces the per-iteration host round trips."""
+"""Fused device solve + refinement: the whole refinement loop — Richardson,
+CG, BiCGStab or GMRES(m) — runs in one device program with the factored
+solve inlined as preconditioner (pastix_tpu/krylov.py; reference raff.c
+method dispatch, SURVEY.md section 3.5).  One dispatch replaces the
+per-iteration host round trips."""
 
 import numpy as np
+import pytest
 
 from pastix_tpu.config import PastixConfig, Factorization, RefinementMethod
-from pastix_tpu.generators import poisson_3d, laplacian_2d
+from pastix_tpu.generators import poisson_3d, laplacian_2d, random_unsym
 from pastix_tpu.pastix import Pastix
 
 
@@ -47,16 +51,102 @@ def test_devref_disabled_paths():
     s.factorize()
     assert s._devref_fn is None
     assert np.abs(s.solve(b) - 1).max() < 1e-8
-    # not built for LDLT
+    # off when refinement is off
     s2 = Pastix(
-        A, PastixConfig(tile_size=16, factorization=Factorization.LDLT)
+        A,
+        PastixConfig(
+            tile_size=16, refinement=RefinementMethod.NONE, fast_solve=True
+        ),
     )
     s2.factorize()
     assert s2._devref_fn is None
-    assert np.abs(s2.solve(b) - 1).max() < 1e-8
-    # CG refinement path bypasses the fused program
-    s3 = Pastix(
+
+
+@pytest.mark.parametrize(
+    "method",
+    [RefinementMethod.CG, RefinementMethod.BICGSTAB, RefinementMethod.GMRES],
+)
+def test_device_krylov_llt(method):
+    """Each Krylov method runs fused on device and the end-to-end solve
+    still reaches reference-grade eps (host fp64 loop finishes if the
+    fp32 device floor is above eps)."""
+    A = poisson_3d(9)
+    As = A.to_scipy()
+    b = As @ np.arange(1.0, A.n + 1) / A.n
+    s = Pastix(A, PastixConfig(tile_size=16, refinement=method))
+    s.factorize()
+    assert s._devref_fn is not None
+    x = s.solve(b)
+    assert np.linalg.norm(b - As @ x) / np.linalg.norm(b) < 1e-10
+    assert s.report.refine_iters >= 1  # device iterations were counted
+
+
+def test_device_refine_ldlt():
+    A = poisson_3d(8)
+    As = A.to_scipy()
+    b = As @ np.ones(A.n)
+    s = Pastix(
         A,
-        PastixConfig(tile_size=16, refinement=RefinementMethod.CG),
+        PastixConfig(
+            tile_size=16,
+            factorization=Factorization.LDLT,
+            refinement=RefinementMethod.CG,
+        ),
     )
-    assert np.abs(s3.solve(b) - 1).max() < 1e-8
+    s.factorize()
+    assert s._devref_fn is not None
+    x = s.solve(b)
+    assert np.abs(x - 1).max() < 1e-8
+
+
+@pytest.mark.parametrize(
+    "method", [RefinementMethod.BICGSTAB, RefinementMethod.GMRES]
+)
+def test_device_refine_lu_unsym(method):
+    A = random_unsym(300, density=0.02, seed=7)
+    As = A.to_scipy()
+    rng = np.random.default_rng(0)
+    xref = rng.standard_normal(A.n)
+    b = As @ xref
+    s = Pastix(
+        A,
+        PastixConfig(
+            tile_size=16,
+            factorization=Factorization.LU,
+            refinement=method,
+        ),
+    )
+    s.factorize()
+    assert s._devref_fn is not None
+    x = s.solve(b)
+    assert np.linalg.norm(b - As @ x) / np.linalg.norm(b) < 1e-10
+
+
+def test_device_gmres_multirhs_falls_back():
+    """Device GMRES is single-RHS: block RHS takes the host path and still
+    converges."""
+    A = poisson_3d(7)
+    As = A.to_scipy()
+    B = As @ np.random.default_rng(1).standard_normal((A.n, 3))
+    s = Pastix(
+        A, PastixConfig(tile_size=16, refinement=RefinementMethod.GMRES)
+    )
+    X = s.solve(B)
+    assert np.linalg.norm(B - As @ X) / np.linalg.norm(B) < 1e-10
+
+
+def test_device_gmres_ilu_preconditioner():
+    """ILU(k) incomplete factors as the inlined preconditioner of the
+    device GMRES loop (the reference IPARM_INCOMPLETE + API_RAF_GMRES
+    pairing)."""
+    A = laplacian_2d(20)
+    As = A.to_scipy()
+    b = As @ np.ones(A.n)
+    s = Pastix(
+        A, PastixConfig(tile_size=16, incomplete=True, level_of_fill=1)
+    )
+    assert s.config.refinement == RefinementMethod.GMRES
+    s.factorize()
+    assert s._devref_fn is not None
+    x = s.solve(b)
+    assert np.abs(x - 1).max() < 1e-7
