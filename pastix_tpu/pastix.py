@@ -250,8 +250,9 @@ class Pastix:
         if rang is None or rang.size < 2:
             rang = np.array([0, n], dtype=np.int64)
         widths = np.diff(rang)
-        # greedy chain-merge consecutive supernodes toward ~0.75*T width
-        target = max(1, (3 * T) // 4)
+        # greedy chain-merge consecutive supernodes toward the configured
+        # fraction of the tile width (default T/2; see config field note)
+        target = max(1, int(self.config.amalg_target_frac * T))
         bounds = [0]
         acc = 0
         for w in widths:
