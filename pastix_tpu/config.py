@@ -108,6 +108,9 @@ class PastixConfig:
     tile_size: Optional[int] = None  # IPARM_MAX_BLOCKSIZE analog; None=auto
     min_tile_size: int = 16  # IPARM_MIN_BLOCKSIZE analog
     align_supernodes: bool = True  # amalgamate+pad supernodes to tile grid
+    cluster_supernode_rows: bool = True  # within-supernode dof sort that
+    # clusters rows reached by the same descendants into the same row
+    # tiles (~9% fewer padded flops; no fill change, no reference analog)
     amalg_target_frac: float = 0.5  # chain-merge supernodes until width >=
     # this fraction of the tile size.  0.5 measured fastest on TPU v5e at
     # the 48^3 bench (277 ms vs 361 ms at the previous 0.75 default:

@@ -162,10 +162,10 @@ def gemm_scatter_fused(
         scalars.append(jnp.asarray(gk, jnp.int32))
     nsc = len(scalars)
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]  # pool (aliased)
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]  # pool (aliased)
     operands = [pool]
     if cross:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(src_pool)
     if scaled:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
@@ -175,7 +175,7 @@ def gemm_scatter_fused(
         num_scalar_prefetch=nsc,
         grid=(ng,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((T, T), out_dtype),
             pltpu.VMEM((T, T), out_dtype),
