@@ -100,7 +100,9 @@ class PastixConfig:
 
     # --- ordering (phase 1) ---
     ordering: OrderingMethod = OrderingMethod.ND  # IPARM_ORDERING
-    nd_leaf_size: int = 64  # IPARM_ORDERING_CMIN-analog: stop ND below this
+    nd_leaf_size: Optional[int] = None  # IPARM_ORDERING_CMIN-analog: stop
+    # ND below this subgraph size; None = track the resolved tile size
+    # (leaves become single tile columns: fewest levels AND least padding)
     nd_max_levels: int = 64
     amalgamation_level: int = 10  # IPARM_AMALGAMATION_LEVEL (% extra fill)
 

@@ -51,6 +51,9 @@ def compute_ordering(
     config = config or PastixConfig()
     method = method or config.ordering
     n = pattern.shape[0]
+    # ND leaves sized to the tile grid: a leaf that fits one tile column
+    # neither splits into level chains nor pads (see config.nd_leaf_size)
+    leaf_size = config.nd_leaf_size or config.resolve_tile_size(n)
 
     if method == OrderingMethod.PERSONAL:
         if user_perm is None:
@@ -69,7 +72,7 @@ def compute_ordering(
         from pastix_tpu.native import native_nested_dissection
 
         res = native_nested_dissection(
-            pattern, leaf_size=config.nd_leaf_size,
+            pattern, leaf_size=leaf_size,
             max_levels=config.nd_max_levels,
         )
         if res is not None:
@@ -79,7 +82,7 @@ def compute_ordering(
             order = Order(permtab, peritab, rangtab)
         else:
             order = nested_dissection(
-                pattern, leaf_size=config.nd_leaf_size,
+                pattern, leaf_size=leaf_size,
                 max_levels=config.nd_max_levels,
             )
         if config.cluster_supernode_rows:
