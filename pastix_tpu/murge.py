@@ -156,11 +156,89 @@ class MurgeSolver:
             # same pattern: swap values, keep cached analysis
             self._solver.factorize(self._A.values)
 
+    # --- options (MURGE_SetOptionINT / MURGE_SetOptionREAL) -------------
+
+    def set_option(self, name, value) -> None:
+        """Set a solver option by reference slot name or config field.
+
+        Accepts IPARM_*/DPARM_* slot names (the MURGE_SetOption verb set)
+        or PastixConfig field names::
+
+            m.set_option("IPARM_FACTORIZATION", "API_FACT_LDLT")
+            m.set_option("refinement_eps", 1e-12)
+
+        Options must be set before the first solve (they rebuild the
+        config; the cached analysis is invalidated on change).
+        """
+        if str(name).startswith(("IPARM_", "DPARM_")):
+            ip = {name: value} if str(name).startswith("IPARM_") else None
+            dp = {name: value} if str(name).startswith("DPARM_") else None
+            import dataclasses
+
+            base = dataclasses.asdict(self.config)
+            # from_iparm on a fresh config, then overlay onto current fields
+            patch = PastixConfig.from_iparm(ip, dp)
+            defaults = PastixConfig()
+            for f in dataclasses.fields(PastixConfig):
+                pv = getattr(patch, f.name)
+                if pv != getattr(defaults, f.name):
+                    base[f.name] = pv
+            self.config = PastixConfig(**base)
+        else:
+            import dataclasses
+
+            if name not in {f.name for f in dataclasses.fields(PastixConfig)}:
+                raise ValueError(f"unknown option: {name}")
+            self.config = dataclasses.replace(self.config, **{name: value})
+        self._solver = None  # config changed: rebuild pipeline
+
+    # --- RHS / solution (MURGE_SetGlobalRHS / MURGE_GetGlobalSolution) --
+
+    def set_global_rhs(self, b) -> None:
+        b = np.asarray(b, dtype=np.float64)
+        if b.shape[0] != self.n:
+            raise ValueError(f"rhs has {b.shape[0]} rows, expected {self.n}")
+        self._rhs = b
+
+    def get_global_solution(self) -> np.ndarray:
+        if getattr(self, "_rhs", None) is None:
+            raise RuntimeError("set_global_rhs first")
+        return self.solve(self._rhs)
+
+    def get_info(self, name: str):
+        """MURGE_GetInfoINT analog: query run metrics by slot name."""
+        r = self.report
+        m = {
+            "IPARM_NNZEROS": r.nnz_l_exact if r else 0,
+            "IPARM_STATIC_PIVOTING": r.static_pivots if r else 0,
+            "DPARM_FILL_IN": r.fill_ratio if r else 0.0,
+            "DPARM_FACT_FLOPS": r.fact_flops if r else 0.0,
+            "DPARM_FACT_TIME": r.fact_time if r else 0.0,
+            "DPARM_SOLV_TIME": r.solve_time if r else 0.0,
+            "nnz_pattern": self._pattern.nnz if self._pattern is not None else 0,
+        }
+        if name not in m:
+            raise ValueError(f"unknown info slot: {name}")
+        return m[name]
+
+    def clean(self) -> None:
+        """MURGE_Clean: drop matrix, values and cached analysis."""
+        if self._solver is not None:
+            self._solver.clean()
+        self._solver = None
+        self._A = None
+        self._pattern = None
+        self._rhs = None
+
     # --- solve ---------------------------------------------------------
 
     def solve(self, b: np.ndarray) -> np.ndarray:
         if getattr(self, "_A", None) is None:
             raise RuntimeError("no assembled matrix; run an assembly phase")
+        if self._solver is None:  # options changed since last assembly
+            from pastix_tpu.pastix import Pastix
+
+            self._solver = Pastix(self._A, self.config)
         return self._solver.solve(np.asarray(b, dtype=np.float64))
 
     @property

@@ -97,3 +97,27 @@ def test_ooc_limit_keeps_small_factors_resident():
     b = A.to_scipy() @ np.ones(A.n)
     x = s.solve(b)
     assert np.abs(x - 1).max() < 1e-8
+
+
+def test_murge_options_rhs_info():
+    """MURGE_SetOption / SetGlobalRHS / GetGlobalSolution / GetInfo verbs."""
+    import scipy.sparse as sp
+    from pastix_tpu.generators import laplacian_2d
+
+    A = laplacian_2d(10).to_scipy().tocoo()
+    n = A.shape[0]
+    m = MurgeSolver(n)
+    m.set_option("IPARM_FACTORIZATION", "API_FACT_LDLT")
+    m.set_option("refinement_eps", 1e-11)
+    assert m.config.factorization.value == "ldlt"
+    assert m.config.refinement_eps == 1e-11
+    m.graph_begin(); m.graph_edge(A.row, A.col); m.graph_end()
+    m.assembly_begin(); m.assembly_set_value(A.row, A.col, A.data); m.assembly_end()
+    b = A.tocsc() @ np.ones(n)
+    m.set_global_rhs(b)
+    x = m.get_global_solution()
+    assert np.abs(x - 1).max() < 1e-9
+    assert m.get_info("IPARM_NNZEROS") > 0
+    assert m.get_info("DPARM_FACT_TIME") > 0
+    m.clean()
+    assert m.report is None
