@@ -66,3 +66,8 @@ def test_isolate_zeros():
 def test_simple_dist():
     out = _run("simple_dist.py")
     assert "max error" in out
+
+
+def test_memory_usage():
+    out = _run("memory_usage.py", "-lap3", "12")
+    assert "device factor pool" in out and "residual" in out
