@@ -18,6 +18,7 @@ no-ops) — so padded entries need no masks and touch no real tiles.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -87,15 +88,29 @@ def _stack_levels(levels: list[LevelTables], npool: int, nbc: int) -> ScanGroup:
     )
 
 
+# Thresholds (env-overridable for experiments).  unroll_gemm=2048: scan
+# groups pad every level to the widest in the run, and the mid-size levels
+# (2k-5k GEMMs) measured ~30% padded-triple waste when scanned -- unrolling
+# them costs program size but no wasted MXU work.  Scan buckets grow 2x so
+# the remaining small-level runs stay tightly packed.
+_UNROLL_GEMM = int(os.environ.get("PASTIX_UNROLL_GEMM", "2048"))
+_UNROLL_DIAG = int(os.environ.get("PASTIX_UNROLL_DIAG", "512"))
+_BUCKET_GROWTH = int(os.environ.get("PASTIX_SCAN_BUCKET_GROWTH", "1"))
+
+
 def group_plan(
     levels: list[LevelTables],
-    unroll_gemm: int = 16384,
-    unroll_diag: int = 512,
+    unroll_gemm: int | None = None,
+    unroll_diag: int | None = None,
     bucket_base: int = 128,
 ):
     """Partition level indices: list of ("unroll", i) / ("scan", [i, ...])
     entries, preserving level order.  Shared by the single-device and
     sharded table builders."""
+    if unroll_gemm is None:
+        unroll_gemm = _UNROLL_GEMM
+    if unroll_diag is None:
+        unroll_diag = _UNROLL_DIAG
     plan = []
     run: list[int] = []
     run_bucket = None
@@ -103,7 +118,7 @@ def group_plan(
     def bucket_of(lv: LevelTables) -> int:
         size = max(int(lv.gemm_a.size), int(lv.trsm_panel.size), 1)
         b = 0
-        while size > bucket_base << (2 * b):  # buckets grow 4x
+        while size > bucket_base << (_BUCKET_GROWTH * b):
             b += 1
         return b
 
@@ -134,8 +149,8 @@ def group_levels(
     levels: list[LevelTables],
     npool: int,
     nbc: int,
-    unroll_gemm: int = 16384,
-    unroll_diag: int = 512,
+    unroll_gemm: int | None = None,
+    unroll_diag: int | None = None,
     bucket_base: int = 128,
 ):
     """Return an execution plan: list of ("unroll", LevelTables) and
