@@ -261,19 +261,21 @@ def build_factorize_fn(
     if kind == Factorization.LLT:
 
         def llt_level(pool, t, has_work=True):
-            diag = K.potrf_batch(jnp.tril(pool[t["diag"]]), hermitian=hermitian)
+            if t["tp"].size:
+                # fused DIAG factor + tile inverse: ONE ~T-step serial loop
+                # per level instead of two (cholesky expander + triangular-
+                # solve expander) — the per-level latency bottleneck
+                diag, dinv = K.chol_inv_batch(
+                    jnp.tril(pool[t["diag"]]), hermitian=hermitian
+                )
+            else:
+                diag = K.potrf_batch(
+                    jnp.tril(pool[t["diag"]]), hermitian=hermitian
+                )
             pool = pool.at[t["diag"]].set(diag)
             if t["tp"].size:
                 # panel TRSM as a matmul with the level's inverted diagonals
-                # (one T-step loop per level instead of two; the nt-batch
-                # triangular loop becomes an MXU gemm)
-                eye = jnp.broadcast_to(
-                    jnp.eye(T, dtype=pool.dtype),
-                    (t["diag"].shape[0], T, T),
-                )
-                dinv = lax.linalg.triangular_solve(
-                    diag, eye, left_side=True, lower=True
-                )
+                # (the nt-batch triangular loop becomes an MXU gemm)
                 inv_p = dinv[t["tcpos"]]
                 if hermitian and jnp.iscomplexobj(pool):
                     inv_p = jnp.conj(inv_p)
@@ -316,18 +318,29 @@ def build_factorize_fn(
 
         def ldlt_level(carry, t):
             pool, d_arr, npiv = carry
-            L, d, piv = K.ldlt_batch(
-                _sym_lower(pool[t["diag"]], hermitian), t["eps"], hermitian
-            )
+            if t["tp"].size:
+                # fused DIAG factor + unit-L inverse (one serial loop/level)
+                L, d, dinv, piv = K.ldlt_inv_batch(
+                    _sym_lower(pool[t["diag"]], hermitian), t["eps"], hermitian
+                )
+            else:
+                L, d, piv = K.ldlt_batch(
+                    _sym_lower(pool[t["diag"]], hermitian), t["eps"], hermitian
+                )
             pool = pool.at[t["diag"]].set(L)
             d_arr = d_arr.at[t["cols"]].set(d)
             valid = t["cols"] < nbc
             npiv = npiv + jnp.where(valid, piv, 0).sum(dtype=jnp.int32)
             if t["tp"].size:
-                panels = K.trsm_ldlt(
-                    pool[t["tp"]], pool[t["td"]], d_arr[t["tc"]],
-                    hermitian=hermitian,
-                )
+                # panel TRSM as an MXU matmul: L(I,J) = A(I,J) L^{-H} D^{-1}
+                inv_p = dinv[t["tcpos"]]
+                if hermitian and jnp.iscomplexobj(pool):
+                    inv_p = jnp.conj(inv_p)
+                panels = jnp.einsum(
+                    "bij,bkj->bik", pool[t["tp"]], inv_p,
+                    preferred_element_type=pool.dtype,
+                    precision=K.matmul_precision(),
+                ) / d_arr[t["tc"]][:, None, :]
                 pool = pool.at[t["tp"]].set(panels)
             if "p_full" in t and not jnp.iscomplexobj(pool):
                 sga, sgb, sgd, first, last, sgk = t["p_full"]
@@ -366,16 +379,35 @@ def build_factorize_fn(
 
     if kind == Factorization.LU:
 
+        def lu_trsm_inv(pool, pool_u, t, linv, uinv_t):
+            # both panel TRSMs as MXU matmuls against the fused inverses:
+            # L(I,J) = A(I,J) U^{-1} = A @ Z^T ; Ut(I,J) = A(J,I)^T L^{-T}
+            zi = uinv_t[t["tcpos"]]
+            xi = linv[t["tcpos"]]
+            lp = jnp.einsum(
+                "bij,bkj->bik", pool[t["tp"]], zi,
+                preferred_element_type=pool.dtype,
+                precision=K.matmul_precision(),
+            )
+            up = jnp.einsum(
+                "bij,bkj->bik", pool_u[t["tp"]], xi,
+                preferred_element_type=pool.dtype,
+                precision=K.matmul_precision(),
+            )
+            return pool.at[t["tp"]].set(lp), pool_u.at[t["tp"]].set(up)
+
         def lu_level_unroll(carry, t, eps):
             pool, pool_u, npiv = carry
-            diag, piv = K.getrf_batch(pool[t["diag"]], eps)
+            if t["tp"].size:
+                diag, linv, uinv_t, piv = K.getrf_inv_batch(
+                    pool[t["diag"]], eps
+                )
+            else:
+                diag, piv = K.getrf_batch(pool[t["diag"]], eps)
             pool = pool.at[t["diag"]].set(diag)
             npiv = npiv + piv.sum(dtype=jnp.int32)
             if t["tp"].size:
-                lp = K.trsm_lu_l(pool[t["tp"]], pool[t["td"]])
-                up = K.trsm_lu_u(pool_u[t["tp"]], pool[t["td"]])
-                pool = pool.at[t["tp"]].set(lp)
-                pool_u = pool_u.at[t["tp"]].set(up)
+                pool, pool_u = lu_trsm_inv(pool, pool_u, t, linv, uinv_t)
             if "p_full" in t and not jnp.iscomplexobj(pool):
                 # A(I,K) -= L(I,J) @ U(J,K): fused kernel, b from the U pool
                 sga, sgb, sgd, first, last, _ = t["p_full"]
@@ -406,14 +438,11 @@ def build_factorize_fn(
 
         def lu_level_scan(carry, t, eps):
             pool, pool_u, npiv = carry
-            diag, piv = K.getrf_batch(pool[t["diag"]], eps)
+            diag, linv, uinv_t, piv = K.getrf_inv_batch(pool[t["diag"]], eps)
             pool = pool.at[t["diag"]].set(diag)
             valid = t["cols"] < nbc
             npiv = npiv + jnp.where(valid, piv, 0).sum(dtype=jnp.int32)
-            lp = K.trsm_lu_l(pool[t["tp"]], pool[t["td"]])
-            up = K.trsm_lu_u(pool_u[t["tp"]], pool[t["td"]])
-            pool = pool.at[t["tp"]].set(lp)
-            pool_u = pool_u.at[t["tp"]].set(up)
+            pool, pool_u = lu_trsm_inv(pool, pool_u, t, linv, uinv_t)
             pool = K.gemm_scatter_ab(
                 pool, pool, pool_u, t["ga"], t["gb"], t["gd"],
                 update_dtype=update_dtype,

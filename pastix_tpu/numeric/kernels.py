@@ -97,6 +97,52 @@ def potrf_batch(tiles: jax.Array, hermitian: bool = True) -> jax.Array:
     return jax.vmap(_potrf_sym_single)(tiles)
 
 
+def chol_inv_batch(tiles: jax.Array, hermitian: bool = True):
+    """Batched Cholesky AND L^{-1} of (B, T, T) tiles in ONE serial loop.
+
+    The per-level factorization critical path is latency-bound on small
+    sequential loops, not flops (BASELINE.md section 4b): XLA expands
+    ``lax.linalg.cholesky`` into a ~T-step column loop and the
+    ``triangular_solve`` used to invert the diagonal tiles into another
+    ~T-step loop.  This fused left-looking loop computes column j of L and
+    row j of X = L^{-1} in the same step — halving the serial depth per
+    elimination level (reference hot path: the DIAG task of sopalin_smp,
+    src/sopalin/src/sopalin3d.c).
+
+    Returns (L, Linv), both lower-triangular (B, T, T).
+    """
+    B, T, _ = tiles.shape
+    herm = hermitian and jnp.iscomplexobj(tiles)
+    ar = lax.broadcasted_iota(jnp.int32, (1, T), 1)
+
+    def body(j, carry):
+        L, X = carry
+        Lrow = jnp.where(ar < j, L[:, j, :], 0.0)  # row j of L, cols < j
+        # left-looking column j: col = A[:, j] - L[:, :j] @ op(L[j, :j])
+        s = jnp.einsum(
+            "bik,bk->bi", L, _conj(Lrow, herm), precision=_PREC,
+            preferred_element_type=L.dtype,
+        )
+        col = tiles[:, :, j] - s
+        pivsq = col[:, j]
+        if herm:
+            pivsq = jnp.real(pivsq).astype(tiles.dtype)
+        piv = jnp.sqrt(pivsq)
+        colm = jnp.where(ar > j, col / piv[:, None], 0.0)
+        L = L.at[:, :, j].set(jnp.where(ar == j, piv[:, None], colm))
+        # inverse row j: X[j, :] = (e_j - L[j, :j] @ X[:j, :]) / piv
+        s2 = jnp.einsum(
+            "bk,bkt->bt", Lrow, X, precision=_PREC,
+            preferred_element_type=L.dtype,
+        )
+        ej = (ar == j).astype(L.dtype)
+        X = X.at[:, j, :].set((ej - s2) / piv[:, None])
+        return L, X
+
+    zero = jnp.zeros_like(tiles)
+    return lax.fori_loop(0, T, body, (zero, zero))
+
+
 def _ldlt_single(M: jax.Array, eps: jax.Array, hermitian: bool):
     """Unpivoted LDL^T / LDL^H of one (T,T) tile with static pivoting.
 
@@ -137,6 +183,49 @@ def ldlt_batch(tiles: jax.Array, eps: jax.Array, hermitian: bool = False):
     )
 
 
+def ldlt_inv_batch(tiles: jax.Array, eps: jax.Array, hermitian: bool = False):
+    """Batched LDL^T/LDL^H AND L^{-1} in ONE fused serial loop.
+
+    Same latency rationale as :func:`chol_inv_batch`: the unit-lower
+    inverse computed alongside the elimination turns the per-level panel
+    TRSM into a pure MXU matmul without a second ~T-step expander loop.
+    ``tiles`` must hold the full symmetric/Hermitian tile.
+    Returns (L_unit_lower, d(B,T), Linv, npiv(B,)).
+    """
+    B, T, _ = tiles.shape
+    herm = hermitian and jnp.iscomplexobj(tiles)
+    ar = lax.broadcasted_iota(jnp.int32, (1, T), 1)
+
+    def body(j, carry):
+        M, L, d, X, npiv = carry
+        piv = M[:, j, j]
+        if herm:
+            piv = jnp.real(piv).astype(M.dtype)
+        pivc, small = _clamp_pivot(piv, eps)
+        col = M[:, :, j] / pivc[:, None]
+        colm = jnp.where(ar > j, col, 0.0)
+        row = jnp.conj(M[:, :, j]) if herm else M[:, j, :]
+        rowm = jnp.where(ar > j, row, 0.0)
+        M = M - colm[:, :, None] * rowm[:, None, :]
+        Lrow = jnp.where(ar < j, L[:, j, :], 0.0)
+        L = L.at[:, :, j].set(jnp.where(ar == j, 1.0, colm))
+        d = d.at[:, j].set(pivc)
+        # inverse row j of the unit-lower factor: X[j,:] = e_j - L[j,:j] X
+        s = jnp.einsum(
+            "bk,bkt->bt", Lrow, X, precision=_PREC,
+            preferred_element_type=L.dtype,
+        )
+        X = X.at[:, j, :].set((ar == j).astype(L.dtype) - s)
+        return M, L, d, X, npiv + small.astype(jnp.int32)
+
+    zero = jnp.zeros_like(tiles)
+    d0 = jnp.zeros((B, T), tiles.dtype)
+    _, L, d, X, npiv = lax.fori_loop(
+        0, T, body, (tiles, zero, d0, zero, jnp.zeros((B,), jnp.int32))
+    )
+    return L, d, X, npiv
+
+
 def _getrf_single(M: jax.Array, eps: jax.Array):
     """Unpivoted LU of one (T,T) tile with static pivoting.
 
@@ -164,6 +253,53 @@ def _getrf_single(M: jax.Array, eps: jax.Array):
 
 def getrf_batch(tiles: jax.Array, eps: jax.Array):
     return jax.vmap(_getrf_single, in_axes=(0, None))(tiles, eps)
+
+
+def getrf_inv_batch(tiles: jax.Array, eps: jax.Array):
+    """Batched unpivoted LU AND both factor inverses in ONE serial loop.
+
+    Replaces three ~T-step expander loops per elimination level (getrf +
+    two triangular solves) with one: at step j the strictly-lower row
+    L[j,:j] and the above-diagonal column U[:j,j] are final, so row j of
+    Linv = L^{-1} (unit lower) and row j of Z = (U^T)^{-1} (so U^{-1} =
+    Z^T) are computed in the same iteration.
+
+    Returns (LU_combined, Linv, Z, npiv) with Z = U^{-T}, all (B, T, T).
+    """
+    B, T, _ = tiles.shape
+    ar = lax.broadcasted_iota(jnp.int32, (1, T), 1)
+
+    def body(j, carry):
+        M, X, Z, npiv = carry
+        pivc, small = _clamp_pivot(M[:, j, j], eps)
+        Lrow = jnp.where(ar < j, M[:, j, :], 0.0)
+        Ucol = jnp.where(ar < j, M[:, :, j], 0.0)
+        ej = (ar == j).astype(M.dtype)
+        # row j of Linv (unit lower) and of Z = U^{-T}
+        sX = jnp.einsum(
+            "bk,bkt->bt", Lrow, X, precision=_PREC,
+            preferred_element_type=M.dtype,
+        )
+        X = X.at[:, j, :].set(ej - sX)
+        sZ = jnp.einsum(
+            "bk,bkt->bt", Ucol, Z, precision=_PREC,
+            preferred_element_type=M.dtype,
+        )
+        Z = Z.at[:, j, :].set((ej - sZ) / pivc[:, None])
+        # elimination step (right-looking, static pivoting)
+        col = M[:, :, j] / pivc[:, None]
+        colm = jnp.where(ar > j, col, 0.0)
+        rowm = jnp.where(ar > j, M[:, j, :], 0.0)
+        M = M - colm[:, :, None] * rowm[:, None, :]
+        Mcol = jnp.where(ar > j, colm, jnp.where(ar == j, pivc[:, None], M[:, :, j]))
+        M = M.at[:, :, j].set(Mcol)
+        return M, X, Z, npiv + small.astype(jnp.int32)
+
+    zero = jnp.zeros_like(tiles)
+    M, X, Z, npiv = lax.fori_loop(
+        0, T, body, (tiles, zero, zero, jnp.zeros((B,), jnp.int32))
+    )
+    return M, X, Z, npiv
 
 
 # ---------------------------------------------------------------------------
