@@ -50,6 +50,11 @@ def _shard_tables(layout: SolverLayout, ndev: int, levels=None):
                 "diag": np.asarray(lv.diag),
                 "tp": np.asarray(lv.trsm_panel),
                 "td": np.asarray(lv.trsm_diag),
+                # panel's column position within the level's diag batch
+                # (for the TRSM-as-matmul against the fused tile inverses)
+                "tcpos": np.searchsorted(lv.cols, lv.trsm_col).astype(
+                    np.int32
+                ),
                 "ga": np.asarray(ga.reshape(ndev, per)),
                 "gb": np.asarray(gb.reshape(ndev, per)),
                 "gp": np.asarray(gp.reshape(ndev, per)),
@@ -87,6 +92,11 @@ def _stack_shard_tables(run, npool: int):
         "diag": np.stack([pad1(t["diag"], md, npool) for t in run]),
         "tp": np.stack([pad1(t["tp"], mt, npool) for t in run]),
         "td": np.stack([pad1(t["td"], mt, npool) for t in run]),
+        # pads clamp into the diag batch (their gathered inverse multiplies
+        # a pool[npool] junk panel whose scatter is dropped)
+        "tcpos": np.stack(
+            [np.minimum(pad1(t["tcpos"], mt, 0), md - 1) for t in run]
+        ),
         # padded triples read tile 0 (junk) and land in the sacrificial row
         "ga": np.stack([pad2(t["ga"], mp, 0) for t in run]),
         "gb": np.stack([pad2(t["gb"], mp, 0) for t in run]),
@@ -149,10 +159,19 @@ def build_sharded_factorize_llt(
             return pool.at[t_p].set(Lt)
 
     def level(pool, t, me, ntouch):
-        diag = K.potrf_batch(jnp.tril(pool[t["diag"]]))
+        if t["tp"].size:
+            # fused DIAG factor + tile inverse (one serial loop per level);
+            # panel TRSM becomes an MXU matmul against the inverses
+            diag, dinv = K.chol_inv_batch(jnp.tril(pool[t["diag"]]))
+        else:
+            diag = K.potrf_batch(jnp.tril(pool[t["diag"]]))
         pool = pool.at[t["diag"]].set(diag)
         if t["tp"].size:
-            panels = K.trsm_llt(pool[t["tp"]], pool[t["td"]])
+            panels = jnp.einsum(
+                "bij,bkj->bik", pool[t["tp"]], dinv[t["tcpos"]],
+                preferred_element_type=pool.dtype,
+                precision=K.matmul_precision(),
+            )
             pool = pool.at[t["tp"]].set(panels)
         if ntouch:
             # tables stay numpy (host constants — device-array closures
@@ -226,17 +245,26 @@ def build_sharded_factorize_ldlt(
         d_arr = jnp.ones((nbc, T), pool.dtype)
         npiv = jnp.int32(0)
         for t, ex, gks in zip(tabs, extra, gk_sharded):
-            L, d, piv = K.ldlt_batch(
-                _sym_lower(pool[t["diag"]], hermitian), eps, hermitian
-            )
+            if t["tp"].size:
+                L, d, dinv, piv = K.ldlt_inv_batch(
+                    _sym_lower(pool[t["diag"]], hermitian), eps, hermitian
+                )
+            else:
+                L, d, piv = K.ldlt_batch(
+                    _sym_lower(pool[t["diag"]], hermitian), eps, hermitian
+                )
             pool = pool.at[t["diag"]].set(L)
             d_arr = d_arr.at[ex["cols"]].set(d)
             npiv = npiv + piv.sum(dtype=jnp.int32)
             if t["tp"].size:
-                panels = K.trsm_ldlt(
-                    pool[t["tp"]], pool[t["td"]], d_arr[ex["tc"]],
-                    hermitian=hermitian,
-                )
+                inv_p = dinv[t["tcpos"]]
+                if hermitian and jnp.iscomplexobj(pool):
+                    inv_p = jnp.conj(inv_p)
+                panels = jnp.einsum(
+                    "bij,bkj->bik", pool[t["tp"]], inv_p,
+                    preferred_element_type=pool.dtype,
+                    precision=K.matmul_precision(),
+                ) / d_arr[ex["tc"]][:, None, :]
                 pool = pool.at[t["tp"]].set(panels)
             if t["ntouch"]:
                 ga = jnp.asarray(t["ga"])[me]
@@ -311,12 +339,25 @@ def build_sharded_factorize_lu(
         me = lax.axis_index(tp_axis)
         npiv = jnp.int32(0)
         for t in tabs:
-            diag, piv = K.getrf_batch(pool[t["diag"]], eps)
+            if t["tp"].size:
+                diag, linv, uinv_t, piv = K.getrf_inv_batch(
+                    pool[t["diag"]], eps
+                )
+            else:
+                diag, piv = K.getrf_batch(pool[t["diag"]], eps)
             pool = pool.at[t["diag"]].set(diag)
             npiv = npiv + piv.sum(dtype=jnp.int32)
             if t["tp"].size:
-                lp = K.trsm_lu_l(pool[t["tp"]], pool[t["td"]])
-                up = K.trsm_lu_u(pool_u[t["tp"]], pool[t["td"]])
+                lp = jnp.einsum(
+                    "bij,bkj->bik", pool[t["tp"]], uinv_t[t["tcpos"]],
+                    preferred_element_type=pool.dtype,
+                    precision=K.matmul_precision(),
+                )
+                up = jnp.einsum(
+                    "bij,bkj->bik", pool_u[t["tp"]], linv[t["tcpos"]],
+                    preferred_element_type=pool.dtype,
+                    precision=K.matmul_precision(),
+                )
                 pool = pool.at[t["tp"]].set(lp)
                 pool_u = pool_u.at[t["tp"]].set(up)
             if t["ntouch"]:
