@@ -71,6 +71,52 @@ def assemble_distributed(n: int, parts: Sequence[CSCDPart]) -> SparseMatrix:
     return SparseMatrix.from_coo(n, r, c, v)
 
 
+def redispatch(
+    n: int,
+    parts: Sequence[CSCDPart],
+    loc2globs: Sequence[np.ndarray],
+    keep_remote: bool = False,
+) -> list[CSCDPart]:
+    """Re-map a CSCD distribution onto a new column ownership —
+    the ``cscd_redispatch`` analog (cscd_utils, SURVEY.md §2 row 1).
+
+    ``loc2globs``: for each target part, the global dofs it owns (column
+    ownership, as in the reference's internal solver distribution).  Every
+    input entry is routed to the target part owning its *column*, with
+    duplicates pre-summed per part (reference redispatch + CSCD_ADD
+    semantics).  Entries whose column no target owns are dropped unless
+    ``keep_remote`` (then a trailing extra part collects them).  Output
+    parts carry global indices (loc2glob=None) so they compose with
+    :func:`assemble_distributed`/:func:`dspsolve` unchanged.
+    """
+    owner = np.full(n, -1, np.int64)
+    for k, l2g in enumerate(loc2globs):
+        l2g = np.asarray(l2g, dtype=np.int64)
+        if (owner[l2g] != -1).any():
+            raise ValueError("loc2globs overlap: a column has two owners")
+        owner[l2g] = k
+    rs, cs, vs = [], [], []
+    for p in parts:
+        r, c, v = p.global_coo()
+        rs.append(r)
+        cs.append(c)
+        vs.append(v)
+    r = np.concatenate(rs) if rs else np.empty(0, np.int64)
+    c = np.concatenate(cs) if cs else np.empty(0, np.int64)
+    v = np.concatenate(vs) if vs else np.empty(0)
+    out = []
+    targets = list(range(len(loc2globs))) + ([-1] if keep_remote else [])
+    for k in targets:
+        sel = owner[c] == k
+        rk, ck, vk = r[sel], c[sel], v[sel]
+        key = rk * n + ck
+        uk, inv = np.unique(key, return_inverse=True)
+        vsum = np.zeros(uk.size, dtype=v.dtype if v.size else np.float64)
+        np.add.at(vsum, inv, vk)
+        out.append(CSCDPart(rows=uk // n, cols=uk % n, vals=vsum))
+    return out
+
+
 def gather_rhs(
     n: int, parts: Sequence[CSCDPart], b_parts: Sequence[np.ndarray],
     mode: str = "add",

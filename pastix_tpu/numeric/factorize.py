@@ -260,8 +260,12 @@ def build_factorize_fn(
 
     if kind == Factorization.LLT:
 
+        import os as _os
+
+        fused_diag = _os.environ.get("PASTIX_FUSED_DIAG", "1") != "0"
+
         def llt_level(pool, t, has_work=True):
-            if t["tp"].size:
+            if t["tp"].size and fused_diag:
                 # fused DIAG factor + tile inverse: ONE ~T-step serial loop
                 # per level instead of two (cholesky expander + triangular-
                 # solve expander) — the per-level latency bottleneck
@@ -274,6 +278,14 @@ def build_factorize_fn(
                 )
             pool = pool.at[t["diag"]].set(diag)
             if t["tp"].size:
+                if not fused_diag:
+                    eye = jnp.broadcast_to(
+                        jnp.eye(T, dtype=pool.dtype),
+                        (t["diag"].shape[0], T, T),
+                    )
+                    dinv = lax.linalg.triangular_solve(
+                        diag, eye, left_side=True, lower=True
+                    )
                 # panel TRSM as a matmul with the level's inverted diagonals
                 # (the nt-batch triangular loop becomes an MXU gemm)
                 inv_p = dinv[t["tcpos"]]

@@ -83,3 +83,46 @@ def test_out_of_range_rejected():
     p = CSCDPart(rows=np.array([0]), cols=np.array([99]), vals=np.array([1.0]))
     with pytest.raises(ValueError, match="out of range"):
         assemble_distributed(10, [p])
+
+
+def test_redispatch_column_ownership():
+    from pastix_tpu.distributed import redispatch
+
+    A = laplacian_2d(8).to_scipy()
+    n = A.shape[0]
+    parts = _split_parts(A, 3, local=True)
+    # new ownership: round-robin columns over 2 target parts
+    l2g0 = np.arange(0, n, 2)
+    l2g1 = np.arange(1, n, 2)
+    out = redispatch(n, parts, [l2g0, l2g1])
+    assert len(out) == 2
+    # every entry landed with its column's owner
+    for k, p in enumerate(out):
+        assert (p.cols % 2 == k).all()
+    # the union reassembles the exact matrix (duplicates pre-summed)
+    B = assemble_distributed(n, out).to_scipy()
+    d = (B - A).tocoo()
+    assert d.nnz == 0 or abs(d.data).max() < 1e-12
+    # per-part duplicates are gone
+    for p in out:
+        key = p.rows * n + p.cols
+        assert np.unique(key).size == key.size
+
+
+def test_redispatch_overlap_rejected():
+    from pastix_tpu.distributed import redispatch
+
+    p = CSCDPart(rows=np.array([0]), cols=np.array([1]), vals=np.array([1.0]))
+    with pytest.raises(ValueError, match="overlap"):
+        redispatch(4, [p], [np.array([0, 1]), np.array([1, 2])])
+
+
+def test_redispatch_keep_remote():
+    from pastix_tpu.distributed import redispatch
+
+    p = CSCDPart(
+        rows=np.array([0, 2]), cols=np.array([0, 3]), vals=np.array([1.0, 2.0])
+    )
+    out = redispatch(4, [p], [np.array([0, 1])], keep_remote=True)
+    assert len(out) == 2
+    assert out[1].cols.tolist() == [3]  # unowned column collected
