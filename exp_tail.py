@@ -1,7 +1,10 @@
-"""One-process A/B: fused chol+inv diag kernel vs the old two-expander path.
+"""One-process A/B on the TPU: dense-tail factor variants.
 
-Run on the TPU (same session so tunnel/compile noise cancels):
-  python ab_fused.py          # env knobs as bench.py (AB_NX, AB_T, AB_REPS)
+Variants (env PASTIX_TAIL read at program-build time):
+  blocked — static unrolled tile-grid Cholesky, fused diag kernel,
+            update_dtype honored in the trailing updates (bf16)
+  xla     — lax.linalg.cholesky of the (q*T)^2 dense matrix
+Also: notail — dense tail disabled entirely (full level chain).
 """
 
 import os
@@ -45,7 +48,11 @@ def main():
     solver.analyze()
     layout = solver.layout
     flops = solver.report.fact_flops
-    log(f"n={A.n} T={layout.T} levels={len(layout.levels)}")
+    dt = solver._dense_tail
+    log(
+        f"n={A.n} T={layout.T} levels={len(layout.levels)} "
+        f"tail q={dt.q if dt else None}"
+    )
 
     pool0, _ = coefinit(layout, solver._A_perm, dtype=np.float32)
     pool_dev = jax.device_put(jnp.asarray(pool0))
@@ -55,19 +62,20 @@ def main():
         return float(np.asarray(x[-1])[-1, -1])
 
     upd = np.dtype(cfg.update_dtype).type if cfg.update_dtype else None
-    modes = os.environ.get("AB_MODES", "scan,unroll,1,0").split(",")
+    modes = os.environ.get("AB_TAILS", "blocked,xla,notail").split(",")
     for mode in modes:
-        os.environ["PASTIX_FUSED_DIAG"] = mode
+        os.environ["PASTIX_TAIL"] = mode
         fn = build_factorize_fn(
             layout, cfg.factorization, update_dtype=upd,
-            hermitian=True, donate=True, dense_tail=solver._dense_tail,
+            hermitian=True, donate=True,
+            dense_tail=None if mode == "notail" else dt,
         )
         c = pool_dev + 0
         sync(c)
         t0 = time.perf_counter()
         out = fn(c)
         sync(out)
-        log(f"fused={mode}: first call {time.perf_counter() - t0:.1f}s")
+        log(f"tail={mode}: first call {time.perf_counter() - t0:.1f}s")
         times = []
         for _ in range(reps):
             c = pool_dev + 0
@@ -78,7 +86,7 @@ def main():
             times.append(time.perf_counter() - t0)
         t = min(times)
         log(
-            f"fused={mode}: {t * 1e3:.1f} ms -> {flops / t / 1e9:.1f} GFLOP/s"
+            f"tail={mode}: {t * 1e3:.1f} ms -> {flops / t / 1e9:.1f} GFLOP/s"
             f"  (all: {[f'{x*1e3:.1f}' for x in times]})"
         )
         del out, c

@@ -39,7 +39,8 @@ def build_parser() -> argparse.ArgumentParser:
                      help="generated 3D N^3 Poisson")
     src.add_argument("-elas3", type=int, metavar="N",
                      help="generated 3D N^3 elasticity")
-    p.add_argument("--fact", choices=["llt", "ldlt", "lu"], default=None,
+    p.add_argument("--fact", choices=["llt", "ldlt", "ldlh", "lu"],
+                   default=None,
                    help="factorization kind (default: llt for symmetric, lu otherwise)")
     p.add_argument("--ord", choices=["nd", "amd", "rcm", "natural"],
                    default="nd", help="ordering method (IPARM_ORDERING)")
@@ -107,6 +108,7 @@ def main(argv=None) -> int:
     fact = args.fact or ("llt" if sym else "lu")
     kw = dict(
         factorization={"llt": Factorization.LLT, "ldlt": Factorization.LDLT,
+                       "ldlh": Factorization.LDLH,
                        "lu": Factorization.LU}[fact],
         ordering={"nd": OrderingMethod.ND, "amd": OrderingMethod.AMD,
                   "rcm": OrderingMethod.RCM,

@@ -245,26 +245,82 @@ def build_factorize_fn(
         t_qj = np.asarray(dense_tail.qj)
         tq = dense_tail.q
 
+        import os as _os_tail
+
+        tail_mode = _os_tail.environ.get("PASTIX_TAIL", "blocked")
+
+        def tail_factor_xla(dense):
+            return lax.linalg.cholesky(
+                dense.reshape(tq * T, tq * T), symmetrize_input=False
+            ).reshape(tq, T, tq, T)
+
+        def tail_factor_blocked(A):
+            # right-looking blocked Cholesky over the (q,T,q,T) tile grid,
+            # statically unrolled: the fused chol+inverse kernel factors
+            # each diagonal block in one ~T-step loop (vs the XLA
+            # expander's chol + triangular-solve loops) and the panel/
+            # trailing updates are plain static-shape MXU matmuls.
+            # Trailing updates honor update_dtype (bf16 mixed precision),
+            # which lax.linalg.cholesky cannot.  Upper blocks accumulate
+            # the symmetric mirror; only lower blocks are read back.
+            for j in range(tq):
+                Lj, Li = K.chol_inv_batch(
+                    jnp.tril(A[j, :, j, :])[None], hermitian=hermitian
+                )
+                A = A.at[j, :, j, :].set(Lj[0])
+                if j + 1 == tq:
+                    break
+                cols = A[j + 1:, :, j, :]
+                inv = jnp.conj(Li[0]) if (
+                    hermitian and jnp.iscomplexobj(A)
+                ) else Li[0]
+                P = jnp.einsum(
+                    "rit,kt->rik", cols, inv,
+                    preferred_element_type=A.dtype,
+                    precision=K.matmul_precision(),
+                )
+                A = A.at[j + 1:, :, j, :].set(P)
+                Pa = P.astype(update_dtype) if update_dtype else P
+                Pb = _conj_tail(Pa)
+                contrib = jnp.einsum(
+                    "aik,blk->aibl", Pa, Pb,
+                    preferred_element_type=A.dtype,
+                    precision=K.matmul_precision(),
+                ).astype(A.dtype)
+                A = A.at[j + 1:, :, j + 1:, :].add(-contrib)
+            return A
+
+        def _conj_tail(x):
+            return jnp.conj(x) if (hermitian and jnp.iscomplexobj(x)) else x
+
         def tail_factor(pool):
-            # gather the trailing Schur complement into one dense (m, m)
-            # matrix (missing upper tiles stay zero; cholesky reads lower
-            # only), factor it with XLA's blocked kernel, scatter back
+            # gather the trailing Schur complement into one dense tile grid
+            # (missing upper tiles stay zero; only lower is read), factor,
+            # scatter the lower blocks back
             tiles = pool[t_p]
             dense = jnp.zeros((tq, T, tq, T), pool.dtype)
             dense = dense.at[t_qi, :, t_qj, :].set(tiles)
-            L = lax.linalg.cholesky(
-                dense.reshape(tq * T, tq * T), symmetrize_input=False
+            L = (
+                tail_factor_blocked(dense)
+                if tail_mode == "blocked"
+                else tail_factor_xla(dense)
             )
-            Lt = L.reshape(tq, T, tq, T)[t_qi, :, t_qj, :]
-            return pool.at[t_p].set(Lt)
+            return pool.at[t_p].set(L[t_qi, :, t_qj, :])
 
     if kind == Factorization.LLT:
 
         import os as _os
 
-        fused_diag = _os.environ.get("PASTIX_FUSED_DIAG", "1") != "0"
+        # Fused chol+inverse measured SLOWER than XLA's blocked expanders
+        # on the v5e at both the unrolled levels and the scan tail
+        # (BASELINE.md §4b A/B): the fused loop's per-step full-array
+        # reads cost more than the saved serial steps.  Default off;
+        # PASTIX_FUSED_DIAG=1|unroll|scan re-enables for re-measurement.
+        _f = _os.environ.get("PASTIX_FUSED_DIAG", "0")
+        fused_unroll = _f in ("1", "unroll")
+        fused_scan = _f in ("1", "scan")
 
-        def llt_level(pool, t, has_work=True):
+        def llt_level(pool, t, fused_diag):
             if t["tp"].size and fused_diag:
                 # fused DIAG factor + tile inverse: ONE ~T-step serial loop
                 # per level instead of two (cholesky expander + triangular-
@@ -312,11 +368,11 @@ def build_factorize_fn(
         def fact_llt(pool, tables):
             for tag, t in plan_iter(tables):
                 if tag == "unroll":
-                    pool = llt_level(pool, t)
+                    pool = llt_level(pool, t, fused_unroll)
                 else:
 
                     def body(pool, x):
-                        return llt_level(pool, x), None
+                        return llt_level(pool, x, fused_scan), None
 
                     pool, _ = lax.scan(body, pool, t)
             if dense_tail is not None:

@@ -159,14 +159,18 @@ def build_sharded_factorize_llt(
             return pool.at[t_p].set(Lt)
 
     def level(pool, t, me, ntouch):
-        if t["tp"].size:
-            # fused DIAG factor + tile inverse (one serial loop per level);
-            # panel TRSM becomes an MXU matmul against the inverses
-            diag, dinv = K.chol_inv_batch(jnp.tril(pool[t["diag"]]))
-        else:
-            diag = K.potrf_batch(jnp.tril(pool[t["diag"]]))
+        # XLA's blocked cholesky/triangular-solve expanders measured faster
+        # than the fused chol+inverse loop on v5e (BASELINE.md §4b A/B):
+        # panel TRSM as a matmul against the level's inverted diagonals
+        diag = K.potrf_batch(jnp.tril(pool[t["diag"]]))
         pool = pool.at[t["diag"]].set(diag)
         if t["tp"].size:
+            eye = jnp.broadcast_to(
+                jnp.eye(T, dtype=pool.dtype), diag.shape
+            )
+            dinv = lax.linalg.triangular_solve(
+                diag, eye, left_side=True, lower=True
+            )
             panels = jnp.einsum(
                 "bij,bkj->bik", pool[t["tp"]], dinv[t["tcpos"]],
                 preferred_element_type=pool.dtype,
