@@ -100,6 +100,14 @@ class PastixConfig:
 
     # --- ordering (phase 1) ---
     ordering: OrderingMethod = OrderingMethod.ND  # IPARM_ORDERING
+    dof_nbr: int = 1  # IPARM_DOF_NBR: degrees of freedom per graph node.
+    # With d > 1 the matrix rows {i*d .. i*d+d-1} belong to node i (the
+    # reference's node-compressed input with dense d x d blocks, e.g. 3D
+    # elasticity with d=3): ordering runs on the d-times-smaller node
+    # graph and the permutation/supernode ranges are expanded so a node's
+    # dofs stay adjacent — same fill, ~d^2 cheaper ordering, and supernodes
+    # start d-wide before amalgamation.  scipy BSR input with blocksize
+    # (d, d) is accepted directly.
     nd_leaf_size: Optional[int] = None  # IPARM_ORDERING_CMIN-analog: stop
     # ND below this subgraph size; None = track the resolved tile size
     # (leaves become single tile columns: fewest levels AND least padding)
@@ -187,6 +195,8 @@ class PastixConfig:
             self.symmetry = Symmetry.UNSYMMETRIC
         if self.tile_size is not None and self.tile_size < 1:
             raise ValueError("tile_size must be >= 1")
+        if self.dof_nbr < 1:
+            raise ValueError("dof_nbr must be >= 1")
         if self.incomplete and self.refinement == RefinementMethod.SIMPLE:
             # ILU(k) factors are approximate: Richardson may stall, a Krylov
             # method is the intended consumer (reference pairs IPARM_INCOMPLETE
@@ -256,6 +266,7 @@ class PastixConfig:
             "IPARM_SCHUR": ("schur", bool),
             "IPARM_START_TASK": ("start_task", Task),
             "IPARM_END_TASK": ("end_task", Task),
+            "IPARM_DOF_NBR": ("dof_nbr", int),
         }
         dslots = {
             "DPARM_EPSILON_REFINEMENT": ("refinement_eps", float),

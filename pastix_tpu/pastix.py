@@ -174,6 +174,8 @@ class Pastix:
         pat = self.A.pattern_sym_scipy()
         if self._schur_unknowns is not None:
             self.order_ = self._order_with_schur(pat)
+        elif cfg.dof_nbr > 1:
+            self.order_ = self._order_with_dof(pat, user_perm)
         else:
             self.order_ = compute_ordering(pat, cfg, user_perm=user_perm)
         self.order_.check()
@@ -184,6 +186,35 @@ class Pastix:
         if cfg.verbosity >= Verbosity.NO:
             print(f"[pastix-tpu] ordering: {self.report.order_time:.3f}s")
         return self.order_
+
+    def _order_with_dof(self, pat: sp.csc_matrix, user_perm=None) -> Order:
+        """IPARM_DOF_NBR > 1: order the node-compressed graph, expand.
+
+        Rows {i*d .. i*d+d-1} belong to node i (the reference's multi-dof
+        input, e.g. elasticity with d=3).  The fill-reducing ordering runs
+        on the d-times-smaller node graph; the permutation and supernode
+        ranges are expanded so each node's dofs stay adjacent.  A user
+        permutation (PERSONAL) is interpreted over nodes, as in the
+        reference."""
+        d = self.config.dof_nbr
+        n = self.A.n
+        if n % d:
+            raise ValueError(
+                f"matrix size {n} is not a multiple of dof_nbr={d}"
+            )
+        nn = n // d
+        C = sp.coo_matrix(pat)
+        node_pat = sp.coo_matrix(
+            (np.ones(C.nnz, dtype=bool), (C.row // d, C.col // d)),
+            shape=(nn, nn),
+        ).tocsc()
+        node_pat.sum_duplicates()
+        no = compute_ordering(node_pat, self.config, user_perm=user_perm)
+        ar = np.arange(d, dtype=np.int64)
+        peritab = (no.peritab[:, None] * d + ar).ravel()
+        permtab = np.empty(n, dtype=np.int64)
+        permtab[peritab] = np.arange(n, dtype=np.int64)
+        return Order(permtab, peritab, no.rangtab * d)
 
     def _order_with_schur(self, pat: sp.csc_matrix) -> Order:
         """Order non-Schur dofs with ND, append Schur dofs last."""
