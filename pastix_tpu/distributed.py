@@ -117,6 +117,55 @@ def redispatch(
     return out
 
 
+def cscd_addlocal(
+    a: CSCDPart, b: CSCDPart, mode: str = "add"
+) -> CSCDPart:
+    """Merge CSCD ``b`` into ``a`` — the ``cscd_addlocal`` analog
+    (cscd_utils, SURVEY.md §2 row 1).
+
+    ``mode`` mirrors the reference's CSCD_ADD / CSCD_KEEP / CSCD_OVW:
+      "add"  — duplicate entries are summed;
+      "keep" — ``a``'s value wins on duplicates (b only fills new slots);
+      "ovw"  — ``b``'s value wins on duplicates.
+    The result carries global indices (loc2glob=None).
+    """
+    if mode not in ("add", "keep", "ovw"):
+        raise ValueError(f"unknown addlocal mode {mode!r} (add/keep/ovw)")
+    ra, ca, va = a.global_coo()
+    rb, cb, vb = b.global_coo()
+    hi = max(
+        int(max(ra.max(), ca.max())) if ra.size else -1,
+        int(max(rb.max(), cb.max())) if rb.size else -1,
+    ) + 1
+    key_a = ra * hi + ca
+    key_b = rb * hi + cb
+    # pre-sum duplicates within each operand (the reference requires sorted
+    # deduplicated CSCDs; we normalize instead of failing)
+    def dedupe(key, v):
+        uk, inv = np.unique(key, return_inverse=True)
+        vs = np.zeros(uk.size, dtype=np.result_type(v.dtype, np.float64))
+        np.add.at(vs, inv, v)
+        return uk, vs
+
+    key_a, va = dedupe(key_a, va)
+    key_b, vb = dedupe(key_b, vb)
+    if mode == "add":
+        key = np.concatenate([key_a, key_b])
+        val = np.concatenate([va, vb])
+        uk, inv = np.unique(key, return_inverse=True)
+        vs = np.zeros(uk.size, dtype=val.dtype)
+        np.add.at(vs, inv, val)
+    else:
+        win_key, win_val = (key_a, va) if mode == "keep" else (key_b, vb)
+        lose_key, lose_val = (key_b, vb) if mode == "keep" else (key_a, va)
+        only = ~np.isin(lose_key, win_key)
+        uk = np.concatenate([win_key, lose_key[only]])
+        vs = np.concatenate([win_val, lose_val[only]])
+        o = np.argsort(uk)
+        uk, vs = uk[o], vs[o]
+    return CSCDPart(rows=uk // hi, cols=uk % hi, vals=vs)
+
+
 def gather_rhs(
     n: int, parts: Sequence[CSCDPart], b_parts: Sequence[np.ndarray],
     mode: str = "add",

@@ -126,3 +126,46 @@ def test_redispatch_keep_remote():
     out = redispatch(4, [p], [np.array([0, 1])], keep_remote=True)
     assert len(out) == 2
     assert out[1].cols.tolist() == [3]  # unowned column collected
+
+
+def test_cscd_addlocal_modes():
+    from pastix_tpu.distributed import CSCDPart, cscd_addlocal
+
+    a = CSCDPart(rows=np.array([0, 1, 1]), cols=np.array([0, 0, 1]),
+                 vals=np.array([1.0, 2.0, 3.0]))
+    b = CSCDPart(rows=np.array([1, 2]), cols=np.array([0, 2]),
+                 vals=np.array([10.0, 5.0]))
+
+    def as_dict(p):
+        return {(int(r), int(c)): float(v)
+                for r, c, v in zip(p.rows, p.cols, p.vals)}
+
+    add = as_dict(cscd_addlocal(a, b, "add"))
+    assert add == {(0, 0): 1.0, (1, 0): 12.0, (1, 1): 3.0, (2, 2): 5.0}
+    keep = as_dict(cscd_addlocal(a, b, "keep"))
+    assert keep == {(0, 0): 1.0, (1, 0): 2.0, (1, 1): 3.0, (2, 2): 5.0}
+    ovw = as_dict(cscd_addlocal(a, b, "ovw"))
+    assert ovw == {(0, 0): 1.0, (1, 0): 10.0, (1, 1): 3.0, (2, 2): 5.0}
+
+
+def test_cscd_addlocal_local_indices_and_dupes():
+    from pastix_tpu.distributed import CSCDPart, cscd_addlocal
+
+    # local indices via loc2glob; internal duplicates pre-summed
+    a = CSCDPart(rows=np.array([0, 0]), cols=np.array([0, 0]),
+                 vals=np.array([1.0, 1.5]), loc2glob=np.array([3]))
+    b = CSCDPart(rows=np.array([0]), cols=np.array([1]),
+                 vals=np.array([4.0]), loc2glob=np.array([3, 5]))
+    out = cscd_addlocal(a, b, "add")
+    d = {(int(r), int(c)): float(v)
+         for r, c, v in zip(out.rows, out.cols, out.vals)}
+    assert d == {(3, 3): 2.5, (3, 5): 4.0}
+
+
+def test_cscd_addlocal_bad_mode():
+    from pastix_tpu.distributed import CSCDPart, cscd_addlocal
+
+    p = CSCDPart(rows=np.array([0]), cols=np.array([0]),
+                 vals=np.array([1.0]))
+    with pytest.raises(ValueError):
+        cscd_addlocal(p, p, "nope")
