@@ -336,6 +336,30 @@ class SolveReport:
     padding_waste: float = 0.0  # padded/useful flop ratio - 1
     memory_bytes: int = 0  # pastix_getMemoryUsage analog (device pools)
 
+    def to_iparm(self) -> tuple[dict, dict]:
+        """Outputs under the reference's slot names: (iparm, dparm) dicts.
+
+        Mirrors what a reference caller reads back from iparm[]/dparm[]
+        after pastix() returns (api.h output slots)."""
+        iparm = {
+            "IPARM_NNZEROS": self.nnz_l_exact,
+            "IPARM_NNZEROS_BLOCK_LOCAL": self.nnz_l,
+            "IPARM_STATIC_PIVOTING": self.static_pivots,
+            "IPARM_NBITER": self.refine_iters,
+            "IPARM_ALLOCATED_TERMS": self.memory_bytes,
+        }
+        dparm = {
+            "DPARM_FILL_IN": self.fill_ratio,
+            "DPARM_FACT_FLOPS": self.fact_flops,
+            "DPARM_ANALYZE_TIME": self.analyze_time,
+            "DPARM_PRED_FACT_TIME": 0.0,
+            "DPARM_FACT_TIME": self.fact_time,
+            "DPARM_SOLV_TIME": self.solve_time,
+            "DPARM_RAFF_TIME": self.refine_time,
+            "DPARM_RELATIVE_ERROR": self.residual,
+        }
+        return iparm, dparm
+
     def summary(self) -> str:
         lines = [
             f"n={self.n} nnz(A)={self.nnz_a} nnz(L)={self.nnz_l} "

@@ -162,3 +162,20 @@ def test_config_from_iparm_slots():
 
     with pytest.raises(ValueError, match="unknown parameter slot"):
         PastixConfig.from_iparm({"IPARM_BOGUS": 1})
+
+
+def test_report_to_iparm_slots():
+    """Output slots under reference names (api.h output iparm/dparm)."""
+    import pastix_tpu
+    from pastix_tpu.generators import laplacian_2d
+
+    A = laplacian_2d(12).to_scipy()
+    b = A @ np.ones(A.shape[0])
+    solver = pastix_tpu.Pastix(A)
+    solver.solve(b)
+    iparm, dparm = solver.report.to_iparm()
+    assert iparm["IPARM_NNZEROS"] > 0
+    assert iparm["IPARM_STATIC_PIVOTING"] == 0
+    assert dparm["DPARM_FACT_TIME"] > 0
+    assert dparm["DPARM_RELATIVE_ERROR"] < 1e-9
+    assert dparm["DPARM_FILL_IN"] >= 1.0
