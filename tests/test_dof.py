@@ -110,3 +110,25 @@ def test_dof_size_mismatch_raises():
 def test_dof_from_iparm():
     cfg = PastixConfig.from_iparm({"IPARM_DOF_NBR": 3})
     assert cfg.dof_nbr == 3
+
+
+def test_murge_dof_option():
+    """MURGE_IPARAM_DOF analog: dof flows through the Murge option verb."""
+    from pastix_tpu.murge import MurgeSolver
+
+    d = 2
+    A_nodes = poisson_3d(4).to_scipy()
+    A = _expand_dof(A_nodes, d)
+    C = sp.coo_matrix(A)
+    m = MurgeSolver(A.shape[0])
+    m.set_option("IPARM_DOF_NBR", d)
+    m.graph_begin()
+    m.graph_edge(C.row, C.col)
+    m.graph_end()
+    m.assembly_begin()
+    m.assembly_set_value(C.row, C.col, C.data)
+    m.assembly_end()
+    b = A @ np.ones(A.shape[0])
+    x = m.solve(b)
+    assert np.linalg.norm(b - A @ x) / np.linalg.norm(b) < 1e-9
+    assert m.config.dof_nbr == d
