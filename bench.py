@@ -95,7 +95,6 @@ def bench():
 
     from pastix_tpu.generators import poisson_3d
     from pastix_tpu.pastix import Pastix
-    from pastix_tpu.numeric.factorize import coefinit
     from pastix_tpu.config import PastixConfig
 
     A = poisson_3d(nx)
@@ -134,7 +133,6 @@ def bench():
         f"(order {t_order:.1f}s, symb {t_symb:.1f}s, analyze {t_an:.1f}s)"
     )
 
-    pool0, _ = coefinit(layout, solver._A_perm, dtype=np.float32)
     fact = solver._fact_fn
 
     def sync(x):
@@ -143,7 +141,16 @@ def bench():
         jax.block_until_ready(x)
         return float(np.asarray(x[-1])[-1, -1])
 
-    pool_dev = jax.device_put(jnp.asarray(pool0))
+    # device-side coefinit: upload only the nnz values (~MBs), scatter the
+    # tile pool together on device — the padded pool is ~GB at this size
+    # and uploading it through the tunnel dominated (or wedged) the run
+    import scipy.sparse as _sp
+
+    vals = jnp.asarray(_sp.coo_matrix(solver._A_perm).data.astype(np.float32))
+    t0 = time.perf_counter()
+    pool_dev = solver._coef_fn(vals)
+    sync(pool_dev)
+    log(f"device coefinit (compile+run): {time.perf_counter() - t0:.1f}s")
 
     def fresh():
         # the product factorize program donates its input buffer: hand each

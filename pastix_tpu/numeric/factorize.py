@@ -68,6 +68,73 @@ def coefinit(
     return pool.reshape(layout.pool_shape), pool_u
 
 
+def build_coefinit_fn(
+    layout: SolverLayout,
+    A_pattern: sp.spmatrix,
+    dtype=np.float32,
+    for_lu: bool = False,
+):
+    """Device-side coefinit: jitted ``fn(vals) -> pool`` (or ``(pool,
+    pool_u)`` for LU).
+
+    Host prep computes the flat scatter indices once per pattern; each
+    factorization then uploads only the nnz values (``A_perm.tocoo().data``
+    cast to ``dtype``, in that COO order) instead of the zero-padded tile
+    pool — orders of magnitude less host→device traffic on the
+    pattern-reuse hot path (reference ``CoefMatrix_Init``,
+    src/sopalin/src/coefinit.c, which fills coeftab in place for the same
+    reason).  Entries outside the stored triangle get an out-of-bounds
+    index, which JAX scatter drops — no per-call host masking.
+    """
+    import jax as _jax
+
+    T = layout.T
+    flat_len = layout.npool * T * T
+    A = sp.coo_matrix(A_pattern)
+    i, j = A.row.astype(np.int64), A.col.astype(np.int64)
+    OOB = flat_len
+
+    itype = np.int32 if flat_len < np.iinfo(np.int32).max else np.int64
+
+    def _flat(sel, rows, cols):
+        idx = np.full(i.size, OOB, dtype=np.int64)
+        p = layout.lookup(rows[sel] // T, cols[sel] // T)
+        idx[sel] = p * (T * T) + (rows[sel] % T) * T + (cols[sel] % T)
+        return idx.astype(itype)
+
+    if for_lu:
+        lo = (i // T) >= (j // T)  # tile on/below the block diagonal
+        idx_l = _flat(lo, i, j)
+        idx_u = _flat(~lo, j, i)  # Ut(I,J) = A(J,I)^T, stored transposed
+    else:
+        lo = i >= j  # lower triangle only (symmetric storage)
+        idx_l = _flat(lo, i, j)
+        idx_u = None
+    pad = np.asarray(layout.diag_pad_flat)
+    shape = layout.pool_shape
+
+    def build_l(vals, idx, pad_idx):
+        pool = jnp.zeros((flat_len,), dtype)
+        pool = pool.at[idx].add(vals.astype(dtype))
+        pool = pool.at[pad_idx].set(jnp.ones((), dtype))
+        return pool.reshape(shape)
+
+    if not for_lu:
+        jfn = _jax.jit(build_l)
+        tabs = _jax.device_put((idx_l, pad))
+        return lambda vals: jfn(vals, *tabs)
+
+    def build_lu(vals, idx_l, idx_u, pad_idx):
+        pool = build_l(vals, idx_l, pad_idx)
+        pool_u = jnp.zeros((flat_len,), dtype)
+        pool_u = pool_u.at[idx_u].add(vals.astype(dtype))
+        return pool, pool_u.reshape(shape)
+
+    jfn = _jax.jit(build_lu)
+    tabs = _jax.device_put((idx_l, idx_u, pad))
+    return lambda vals: jfn(vals, *tabs)
+
+
 # ---------------------------------------------------------------------------
 # factorization programs
 # ---------------------------------------------------------------------------
@@ -553,14 +620,30 @@ def factorize(
     pivot_threshold: float = 1e-14,
     update_dtype=None,
     fact_fn=None,
+    coef_fn=None,
 ) -> Factors:
-    """Convenience host driver: coefinit + run the jitted program."""
+    """Convenience host driver: coefinit + run the jitted program.
+
+    ``coef_fn`` (from :func:`build_coefinit_fn`) builds the tile pool on
+    device from the nnz values; without it the pool is assembled on the
+    host and uploaded whole."""
     for_lu = kind == Factorization.LU
-    pool_np, pool_u_np = coefinit(layout, A_perm, dtype=dtype, for_lu=for_lu)
     anorm = float(abs(A_perm).max()) if A_perm.nnz else 1.0
     eps = jnp.asarray(pivot_threshold * anorm, dtype=dtype)
     fn = fact_fn or build_factorize_fn(layout, kind, update_dtype=update_dtype)
-    pool = jnp.asarray(pool_np)
+    if coef_fn is not None:
+        vals = jnp.asarray(sp.coo_matrix(A_perm).data.astype(dtype))
+        if for_lu:
+            pool, pool_u = coef_fn(vals)
+        else:
+            pool = coef_fn(vals)
+            pool_u = None
+    else:
+        pool_np, pool_u_np = coefinit(
+            layout, A_perm, dtype=dtype, for_lu=for_lu
+        )
+        pool = jnp.asarray(pool_np)
+        pool_u = jnp.asarray(pool_u_np) if pool_u_np is not None else None
     if kind == Factorization.LLT:
         pool = fn(pool)
         # LL^T has no pivoting: breakdown surfaces as NaN on the diagonal.
@@ -580,7 +663,6 @@ def factorize(
     if kind in (Factorization.LDLT, Factorization.LDLH):
         pool, d, npiv = fn(pool, eps)
         return Factors(kind, layout, pool, None, d, int(npiv))
-    pool_u = jnp.asarray(pool_u_np)
     pool, pool_u, npiv = fn(pool, pool_u, eps)
     return Factors(kind, layout, pool, pool_u, None, int(npiv))
 

@@ -372,6 +372,16 @@ class Pastix:
             densify_tail_frac=cfg.dense_tail_fill if use_tail else 0.0,
         )
         upd = np.dtype(cfg.update_dtype).type if cfg.update_dtype else None
+        # device-side coefinit: each factorization uploads only the nnz
+        # values; the tile pool is scattered together on device
+        from pastix_tpu.numeric.factorize import build_coefinit_fn
+
+        self._coef_fn = build_coefinit_fn(
+            self.layout,
+            self._A_perm,
+            dtype=np.dtype(cfg.compute_dtype).type,
+            for_lu=cfg.factorization == Factorization.LU,
+        )
         self._dense_tail = None
         if use_tail:
             from pastix_tpu.analyze.layout import plan_dense_tail
@@ -479,6 +489,7 @@ class Pastix:
             dtype=dtype,
             pivot_threshold=cfg.static_pivoting_threshold,
             fact_fn=self._fact_fn,
+            coef_fn=self._coef_fn,
         )
         import jax
 

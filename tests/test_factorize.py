@@ -151,3 +151,30 @@ def test_fast_solve_matches_classic():
         )
         xs[fast] = s.solve(bb, refine=False)
     np.testing.assert_allclose(xs[True], xs[False], rtol=1e-4, atol=1e-5)
+
+
+def test_device_coefinit_matches_host():
+    """build_coefinit_fn (device scatter) == coefinit (host) bit-for-bit,
+    LLT and LU pools."""
+    import scipy.sparse as sp
+    from pastix_tpu.generators import laplacian_2d
+    from pastix_tpu.pastix import Pastix
+    from pastix_tpu.config import PastixConfig, Factorization
+    from pastix_tpu.numeric.factorize import build_coefinit_fn, coefinit
+    import jax.numpy as jnp
+
+    for kind in (Factorization.LLT, Factorization.LU):
+        A = laplacian_2d(13).to_scipy()
+        solver = Pastix(A, PastixConfig(tile_size=16, factorization=kind))
+        solver.analyze()
+        lay, Ap = solver.layout, solver._A_perm
+        for_lu = kind == Factorization.LU
+        pool_h, pool_u_h = coefinit(lay, Ap, dtype=np.float32, for_lu=for_lu)
+        fn = build_coefinit_fn(lay, Ap, dtype=np.float32, for_lu=for_lu)
+        vals = jnp.asarray(sp.coo_matrix(Ap).data.astype(np.float32))
+        if for_lu:
+            pool_d, pool_u_d = fn(vals)
+            np.testing.assert_array_equal(np.asarray(pool_u_d), pool_u_h)
+        else:
+            pool_d = fn(vals)
+        np.testing.assert_array_equal(np.asarray(pool_d), pool_h)
