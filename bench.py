@@ -178,9 +178,11 @@ def bench():
         log(f"WARNING: implausible timing {t_fact:.2e}s — sync may be broken")
     gflops = flops_exact / t_fact / 1e9
     gflops_dev = flops_padded / t_fact / 1e9
+    nnz_l_per_s = nnz_l / t_fact
     log(
         f"steady-state fact: {t_fact * 1e3:.1f} ms "
-        f"-> {gflops:.1f} useful GFLOP/s ({gflops_dev:.1f} device GFLOP/s)"
+        f"-> {gflops:.1f} useful GFLOP/s ({gflops_dev:.1f} device GFLOP/s), "
+        f"nnz(L)/s {nnz_l_per_s:.3e}"
     )
 
     # correctness: one refined solve must reach reference-grade residual
@@ -220,6 +222,9 @@ def bench():
                 "value": round(gflops, 2),
                 "unit": "GFLOP/s",
                 "vs_baseline": round(t_scipy / t_fact, 2),
+                "nnz_l_per_s": round(nnz_l_per_s, 1),
+                "fact_ms": round(t_fact * 1e3, 2),
+                "padded_over_useful": round(flops_padded / flops_exact, 2),
             }
         )
     )

@@ -281,7 +281,9 @@ class PastixConfig:
                 if cv is None:
                     raise ValueError(f"bad value {val!r} for {key}")
                 out[field] = cv
-        if out.get("ooc_limit_mb"):
+        if (iparm or {}).get("IPARM_OOC_LIMIT"):
+            out["ooc"] = True  # a nonzero limit slot enables OOC mode
+        elif out.get("ooc_limit_mb"):
             out.setdefault("ooc", True)
         return cls(**out)
 
@@ -335,6 +337,9 @@ class SolveReport:
     dense_tail_m: int = 0  # width of the dense terminal block (0 = off)
     padding_waste: float = 0.0  # padded/useful flop ratio - 1
     memory_bytes: int = 0  # pastix_getMemoryUsage analog (device pools)
+    memory_terms: int = 0  # IPARM_ALLOCATED_TERMS: allocated coefficient
+    # terms (memory_bytes // dtype itemsize — the reference slot counts
+    # terms, not bytes)
 
     def to_iparm(self) -> tuple[dict, dict]:
         """Outputs under the reference's slot names: (iparm, dparm) dicts.
@@ -346,7 +351,10 @@ class SolveReport:
             "IPARM_NNZEROS_BLOCK_LOCAL": self.nnz_l,
             "IPARM_STATIC_PIVOTING": self.static_pivots,
             "IPARM_NBITER": self.refine_iters,
-            "IPARM_ALLOCATED_TERMS": self.memory_bytes,
+            "IPARM_ALLOCATED_TERMS": self.memory_terms,
+            # bytes exposed under a non-reference key (the reference slot
+            # counts coefficient terms)
+            "PASTIX_TPU_MEMORY_BYTES": self.memory_bytes,
         }
         dparm = {
             "DPARM_FILL_IN": self.fill_ratio,

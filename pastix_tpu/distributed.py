@@ -127,12 +127,17 @@ def cscd_addlocal(
       "add"  — duplicate entries are summed;
       "keep" — ``a``'s value wins on duplicates (b only fills new slots);
       "ovw"  — ``b``'s value wins on duplicates.
-    The result carries global indices (loc2glob=None).
+    Matching the reference, the merge is restricted to ``a``'s (local)
+    column set: ``b`` entries in columns absent from ``a`` are dropped
+    (the reference adds B into A's CSCD structure, which only has A's
+    columns).  The result carries global indices (loc2glob=None).
     """
     if mode not in ("add", "keep", "ovw"):
         raise ValueError(f"unknown addlocal mode {mode!r} (add/keep/ovw)")
     ra, ca, va = a.global_coo()
     rb, cb, vb = b.global_coo()
+    in_a_cols = np.isin(cb, np.unique(ca))
+    rb, cb, vb = rb[in_a_cols], cb[in_a_cols], vb[in_a_cols]
     hi = max(
         int(max(ra.max(), ca.max())) if ra.size else -1,
         int(max(rb.max(), cb.max())) if rb.size else -1,

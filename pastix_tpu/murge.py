@@ -175,15 +175,11 @@ class MurgeSolver:
             dp = {name: value} if str(name).startswith("DPARM_") else None
             import dataclasses
 
+            # overlay the slot directly onto the current fields: from_iparm
+            # starts from **kw and applies only the given slots, so setting
+            # a value equal to the field default still takes effect
             base = dataclasses.asdict(self.config)
-            # from_iparm on a fresh config, then overlay onto current fields
-            patch = PastixConfig.from_iparm(ip, dp)
-            defaults = PastixConfig()
-            for f in dataclasses.fields(PastixConfig):
-                pv = getattr(patch, f.name)
-                if pv != getattr(defaults, f.name):
-                    base[f.name] = pv
-            self.config = PastixConfig(**base)
+            self.config = PastixConfig.from_iparm(ip, dp, **base)
         else:
             import dataclasses
 

@@ -122,7 +122,9 @@ def build_coefinit_fn(
     if not for_lu:
         jfn = _jax.jit(build_l)
         tabs = _jax.device_put((idx_l, pad))
-        return lambda vals: jfn(vals, *tabs)
+        fn = lambda vals: jfn(vals, *tabs)
+        fn.dtype = np.dtype(dtype)  # baked pool dtype (validated by factorize)
+        return fn
 
     def build_lu(vals, idx_l, idx_u, pad_idx):
         pool = build_l(vals, idx_l, pad_idx)
@@ -132,7 +134,9 @@ def build_coefinit_fn(
 
     jfn = _jax.jit(build_lu)
     tabs = _jax.device_put((idx_l, idx_u, pad))
-    return lambda vals: jfn(vals, *tabs)
+    fn = lambda vals: jfn(vals, *tabs)
+    fn.dtype = np.dtype(dtype)  # baked pool dtype (validated by factorize)
+    return fn
 
 
 # ---------------------------------------------------------------------------
@@ -632,6 +636,13 @@ def factorize(
     eps = jnp.asarray(pivot_threshold * anorm, dtype=dtype)
     fn = fact_fn or build_factorize_fn(layout, kind, update_dtype=update_dtype)
     if coef_fn is not None:
+        baked = getattr(coef_fn, "dtype", None)
+        if baked is not None and baked != np.dtype(dtype):
+            raise ValueError(
+                f"coef_fn was built for dtype {baked} but factorize was "
+                f"called with dtype {np.dtype(dtype)}; rebuild the coefinit "
+                "fn (build_coefinit_fn) with the matching dtype"
+            )
         vals = jnp.asarray(sp.coo_matrix(A_perm).data.astype(dtype))
         if for_lu:
             pool, pool_u = coef_fn(vals)

@@ -302,11 +302,7 @@ def build_subtree_factorize_llt(
             bnd = lax.psum(buf[npool : npool + nb], tp_axis)
             # boundary holds (-sum of contributions); pool rows at the
             # boundary tiles still hold A values on every device
-            pool = pool.at[jnp.asarray(boundary.astype(np.int32))].add(
-                bnd + jnp.zeros_like(bnd)
-            ) if False else pool.at[
-                jnp.asarray(boundary.astype(np.int32))
-            ].add(bnd)
+            pool = pool.at[jnp.asarray(boundary.astype(np.int32))].add(bnd)
 
         # ---- shared top phase (bulk-synchronous) -------------------------
         for t in shared_tabs:

@@ -173,6 +173,13 @@ class Pastix:
             return self.order_
         pat = self.A.pattern_sym_scipy()
         if self._schur_unknowns is not None:
+            if cfg.dof_nbr > 1:
+                raise ValueError(
+                    "schur unknowns with dof_nbr > 1 is unsupported: the "
+                    "Schur ordering is per-dof and would break node "
+                    "alignment; expand the unknown list to dofs and use "
+                    "dof_nbr=1"
+                )
             self.order_ = self._order_with_schur(pat)
         elif cfg.dof_nbr > 1:
             self.order_ = self._order_with_dof(pat, user_perm)
@@ -451,6 +458,9 @@ class Pastix:
         self.report.memory_bytes = self.layout.memory_bytes(
             dtype_bytes=np.dtype(cfg.compute_dtype).itemsize,
             lu=cfg.factorization == Factorization.LU,
+        )
+        self.report.memory_terms = (
+            self.report.memory_bytes // np.dtype(cfg.compute_dtype).itemsize
         )
         if cfg.verbosity >= Verbosity.YES:
             print(

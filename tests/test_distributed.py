@@ -140,12 +140,13 @@ def test_cscd_addlocal_modes():
         return {(int(r), int(c)): float(v)
                 for r, c, v in zip(p.rows, p.cols, p.vals)}
 
+    # reference semantics: b's (2,2) lies in a column absent from a -> dropped
     add = as_dict(cscd_addlocal(a, b, "add"))
-    assert add == {(0, 0): 1.0, (1, 0): 12.0, (1, 1): 3.0, (2, 2): 5.0}
+    assert add == {(0, 0): 1.0, (1, 0): 12.0, (1, 1): 3.0}
     keep = as_dict(cscd_addlocal(a, b, "keep"))
-    assert keep == {(0, 0): 1.0, (1, 0): 2.0, (1, 1): 3.0, (2, 2): 5.0}
+    assert keep == {(0, 0): 1.0, (1, 0): 2.0, (1, 1): 3.0}
     ovw = as_dict(cscd_addlocal(a, b, "ovw"))
-    assert ovw == {(0, 0): 1.0, (1, 0): 10.0, (1, 1): 3.0, (2, 2): 5.0}
+    assert ovw == {(0, 0): 1.0, (1, 0): 10.0, (1, 1): 3.0}
 
 
 def test_cscd_addlocal_local_indices_and_dupes():
@@ -159,7 +160,8 @@ def test_cscd_addlocal_local_indices_and_dupes():
     out = cscd_addlocal(a, b, "add")
     d = {(int(r), int(c)): float(v)
          for r, c, v in zip(out.rows, out.cols, out.vals)}
-    assert d == {(3, 3): 2.5, (3, 5): 4.0}
+    # column 5 is not in a's column set -> b's (3,5) entry is dropped
+    assert d == {(3, 3): 2.5}
 
 
 def test_cscd_addlocal_bad_mode():

@@ -19,20 +19,15 @@ def _expand_dof(A_nodes, d, seed=0):
     """Expand a node matrix to d dofs per node with SPD d x d blocks."""
     rng = np.random.default_rng(seed)
     C = sp.coo_matrix(A_nodes)
-    blocks = np.zeros((C.nnz, d, d))
-    for k, (i, j, v) in enumerate(zip(C.row, C.col, C.data)):
-        B = 0.1 * rng.standard_normal((d, d))
-        if i == j:
-            B = B + B.T + d * np.eye(d)
-        blocks[k] = v * (np.eye(d) + 0.0) + (B if i <= j else blocks[k])
-    # symmetrize: build from the lower triangle only
+    # build from the lower triangle only; random dense dxd coupling on the
+    # kept (i >= j) entries, mirrored when symmetrizing below
     keep = C.row >= C.col
     rows, cols, vals = [], [], []
     for k in np.flatnonzero(keep):
-        i, j = int(C.row[k]), int(C.col[k])
-        B = blocks[k]
+        i, j, v = int(C.row[k]), int(C.col[k]), C.data[k]
+        B = v * np.eye(d) + 0.1 * rng.standard_normal((d, d))
         if i == j:
-            B = (B + B.T) / 2
+            B = (B + B.T) / 2 + d * np.eye(d)
         for a in range(d):
             for b in range(d):
                 rows.append(i * d + a)

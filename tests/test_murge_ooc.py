@@ -121,3 +121,19 @@ def test_murge_options_rhs_info():
     assert m.get_info("DPARM_FACT_TIME") > 0
     m.clean()
     assert m.report is None
+
+
+def test_murge_set_option_back_to_default():
+    """Regression: resetting a slot to its field default must take effect
+    (the old defaults-diff overlay silently dropped such writes)."""
+    m = MurgeSolver(4)
+    default_itermax = PastixConfig().refinement_itermax
+    m.set_option("IPARM_ITERMAX", 7)
+    assert m.config.refinement_itermax == 7
+    m.set_option("IPARM_ITERMAX", default_itermax)
+    assert m.config.refinement_itermax == default_itermax
+    # and the write-back must not clobber unrelated non-default fields
+    m.set_option("IPARM_FACTORIZATION", "API_FACT_LDLT")
+    m.set_option("IPARM_ITERMAX", 9)
+    assert m.config.factorization.value == "ldlt"
+    assert m.config.refinement_itermax == 9
