@@ -196,6 +196,62 @@ def _unroll_tables(lv, use_pallas: bool = False):
     return t
 
 
+def _packed_unroll(pl):
+    """Packed-level fields for one unrolled level (pk_ prefix)."""
+    return {
+        "pk_gidx": np.asarray(pl.gidx),
+        "pk_cpos": np.asarray(pl.cpos),
+        "pk_ccol": np.asarray(pl.ccol),
+        "pk_tbr": np.asarray(pl.tbr),
+        "pk_rloc": np.asarray(pl.rloc),
+        "pk_pa": np.asarray(pl.pa),
+        "pk_ptb": np.asarray(pl.ptb),
+        "pk_pgb": np.asarray(pl.pgb),
+    }
+
+
+def _packed_scan(pls, nbc, npool):
+    """Stack a run of PackedLevels for lax.scan (pad chunks/pairs)."""
+    maxc = max(pl.gidx.shape[0] for pl in pls)  # includes each pad chunk
+    maxg = max(max(pl.pa.size for pl in pls), 1)
+    T = pls[0].gidx.shape[1]
+
+    def pad2(a, fillrow):
+        out = np.broadcast_to(fillrow, (maxc, T)).copy()
+        out[: a.shape[0]] = a
+        return out
+
+    def pad1(a, fill, m):
+        out = np.full(m, fill, a.dtype)
+        out[: a.size] = a
+        return out
+
+    g, tbr, rl, cp, cc, pa, ptb, pgb = [], [], [], [], [], [], [], []
+    for pl in pls:
+        padrow_g = pl.gidx[-1]  # the level's own pad chunk (all-OOB)
+        padrow_t = pl.tbr[-1]
+        zrow = np.zeros(T, pl.rloc.dtype)
+        g.append(pad2(pl.gidx, padrow_g))
+        tbr.append(pad2(pl.tbr, padrow_t))
+        rl.append(pad2(pl.rloc, zrow))
+        cp.append(pad1(pl.cpos, 0, maxc))
+        cc.append(pad1(pl.ccol, nbc, maxc))
+        # pad pairs point at the last chunk, which is always a pad chunk
+        pa.append(pad1(pl.pa, maxc - 1, maxg))
+        ptb.append(pad1(pl.ptb, 0, maxg))
+        pgb.append(pad1(pl.pgb, npool, maxg))
+    return {
+        "pk_gidx": np.stack(g),
+        "pk_tbr": np.stack(tbr),
+        "pk_rloc": np.stack(rl),
+        "pk_cpos": np.stack(cp),
+        "pk_ccol": np.stack(cc),
+        "pk_pa": np.stack(pa),
+        "pk_ptb": np.stack(ptb),
+        "pk_pgb": np.stack(pgb),
+    }
+
+
 def _scan_tables(g):
     # per-row searchsorted: cols/trsm_col are (nlev, m) stacks
     tcpos = np.stack(
@@ -229,6 +285,7 @@ def build_factorize_fn(
     hermitian: Optional[bool] = None,
     donate: bool = False,
     dense_tail=None,
+    packed_plan=None,
 ):
     """Emit the jitted factorization program for this pattern.
 
@@ -240,6 +297,11 @@ def build_factorize_fn(
     ``use_pallas`` (default: auto, on when the backend is TPU) routes the
     unrolled levels' trailing updates through the fused Pallas
     gather-GEMM-scatter kernel; scan tails keep the XLA path.
+
+    ``packed_plan`` (analyze.packed.build_packed_plan): route the panel
+    TRSM + trailing updates through packed row supports — device flops
+    track useful flops instead of tile-grid padding.  Complete real/complex
+    factorizations only; must be built over the same ``levels`` list.
 
     Returned callable signatures:
       LLT : fn(pool)            -> pool'
@@ -279,14 +341,65 @@ def build_factorize_fn(
         dense_tail = None
     levels = dense_tail.levels_lo if dense_tail is not None else layout.levels
 
-    plan = [
-        (
-            tag,
-            _unroll_tables(g, use_pallas) if tag == "unroll" else _scan_tables(g),
+    packed = packed_plan is not None
+    if packed:
+        assert len(packed_plan.levels) == len(levels), (
+            "packed plan must be built over the same level list"
         )
-        for tag, g in group_levels(levels, layout.npool, layout.nbc)
-    ]
+        use_pallas = False
+
+    from pastix_tpu.numeric.grouping import group_plan, _stack_levels
+
+    plan = []
+    for tag, item in group_plan(levels):
+        if tag == "unroll":
+            t = _unroll_tables(levels[item], use_pallas)
+            if packed:
+                t.update(_packed_unroll(packed_plan.levels[item]))
+        else:
+            t = _scan_tables(
+                _stack_levels([levels[i] for i in item], layout.npool, layout.nbc)
+            )
+            if packed:
+                t.update(
+                    _packed_scan(
+                        [packed_plan.levels[i] for i in item],
+                        layout.nbc, layout.npool,
+                    )
+                )
+        if packed:
+            # the grid-tile TRSM/GEMM tables are unused on the packed path
+            for k in ("tp", "td", "tc", "tcpos", "ga", "gb", "gd", "gk",
+                      "gnd", "gdo"):
+                t.pop(k, None)
+        plan.append((tag, t))
     nbc, T = layout.nbc, layout.T
+    npool = layout.npool
+    if packed:
+        tbcat_dev = jax.device_put(np.asarray(packed_plan.tbcat))
+        tbcat_u_dev = (
+            jax.device_put(np.asarray(packed_plan.tbcat_u))
+            if packed_plan.tbcat_u is not None
+            else None
+        )
+
+        def packed_scatter(p2, W, t, pa, ptb, tbcat):
+            # row-granular extend-add: each W row is a full (T,) lane row of
+            # one target tile (element scatter measured ~8x slower on TPU)
+            tb = tbcat[t["pk_tbr"][pa] + ptb[:, None]]  # (ng, T)
+            dst = tb * T + t["pk_rloc"][pa]  # OOB rows (>= npool*T) drop
+            return p2.at[dst].add(-W)
+
+        def packed_gemm(a, b):
+            if update_dtype is not None:
+                a = a.astype(update_dtype)
+                b = b.astype(update_dtype)
+            return jnp.einsum(
+                "gij,gkj->gik", a, b,
+                preferred_element_type=jnp.promote_types(a.dtype, jnp.float32)
+                if not jnp.iscomplexobj(a) else a.dtype,
+                precision=K.matmul_precision(),
+            )
 
     # The index tables are passed as ARGUMENTS (uploaded to the device once
     # here), not closed over: numpy closures become HLO constants, and at
@@ -436,9 +549,57 @@ def build_factorize_fn(
                 )
             return pool
 
-        def fact_llt(pool, tables):
+        def llt_level_packed(pool, t, tbcat):
+            has_chunks = t["pk_pa"].shape[-1] > 0 or t["pk_gidx"].shape[-2] > 1
+            diag = K.potrf_batch(
+                jnp.tril(pool[t["diag"]]), hermitian=hermitian
+            )
+            if has_chunks:
+                eye = jnp.broadcast_to(
+                    jnp.eye(T, dtype=pool.dtype),
+                    (t["diag"].shape[-1], T, T),
+                )
+                dinv = lax.linalg.triangular_solve(
+                    diag, eye, left_side=True, lower=True
+                )
+            pool = pool.at[t["diag"]].set(diag)
+            if not has_chunks:
+                return pool
+            p2 = pool.reshape(npool * T, T)
+            P = p2[t["pk_gidx"]]  # (nc, T, T) packed pre-TRSM rows
+            inv_c = dinv[t["pk_cpos"]]
+            if hermitian and jnp.iscomplexobj(pool):
+                inv_c = jnp.conj(inv_c)
+            O = jnp.einsum(
+                "cij,ckj->cik", P, inv_c,
+                preferred_element_type=pool.dtype,
+                precision=K.matmul_precision(),
+            )
+            p2 = p2.at[t["pk_gidx"]].set(O)
+            if t["pk_pa"].shape[-1]:
+                pa = t["pk_pa"]
+                # b operand from the grid (post-TRSM panel tile): its
+                # off-support rows are structurally zero -> zero W columns
+                b = p2.reshape(npool, T, T)[t["pk_pgb"]]
+                if hermitian and jnp.iscomplexobj(pool):
+                    b = jnp.conj(b)
+                W = packed_gemm(O[pa], b).astype(pool.dtype)
+                p2 = packed_scatter(p2, W, t, pa, t["pk_ptb"], tbcat)
+            return p2.reshape(pool.shape)
+
+        def fact_llt(pool, tables, *aux):
+            tbcat = aux[0] if packed else None
             for tag, t in plan_iter(tables):
-                if tag == "unroll":
+                if packed:
+                    if tag == "unroll":
+                        pool = llt_level_packed(pool, t, tbcat)
+                    else:
+
+                        def body(pool, x):
+                            return llt_level_packed(pool, x, tbcat), None
+
+                        pool, _ = lax.scan(body, pool, t)
+                elif tag == "unroll":
                     pool = llt_level(pool, t, fused_unroll)
                 else:
 
@@ -451,6 +612,8 @@ def build_factorize_fn(
             return pool
 
         jfn = jax.jit(fact_llt, donate_argnums=(0,) if donate else ())
+        if packed:
+            return lambda pool: jfn(pool, plan_tables, tbcat_dev)
         return lambda pool: jfn(pool, plan_tables)
 
     if kind in (Factorization.LDLT, Factorization.LDLH):
@@ -495,11 +658,67 @@ def build_factorize_fn(
                 )
             return pool, d_arr, npiv
 
-        def fact_ldlt(pool, eps, tables):
+        def ldlt_level_packed(carry, t, tbcat):
+            pool, d_arr, npiv = carry
+            has_chunks = t["pk_pa"].shape[-1] > 0 or t["pk_gidx"].shape[-2] > 1
+            if has_chunks:
+                L, d, dinv, piv = K.ldlt_inv_batch(
+                    _sym_lower(pool[t["diag"]], hermitian), t["eps"], hermitian
+                )
+            else:
+                L, d, piv = K.ldlt_batch(
+                    _sym_lower(pool[t["diag"]], hermitian), t["eps"], hermitian
+                )
+            pool = pool.at[t["diag"]].set(L)
+            d_arr = d_arr.at[t["cols"]].set(d)
+            valid = t["cols"] < nbc
+            npiv = npiv + jnp.where(valid, piv, 0).sum(dtype=jnp.int32)
+            if not has_chunks:
+                return pool, d_arr, npiv
+            p2 = pool.reshape(npool * T, T)
+            P = p2[t["pk_gidx"]]
+            inv_c = dinv[t["pk_cpos"]]
+            if hermitian and jnp.iscomplexobj(pool):
+                inv_c = jnp.conj(inv_c)
+            dcol = d_arr[t["pk_ccol"]]  # (nc, T) pivots of the chunk's column
+            O = jnp.einsum(
+                "cij,ckj->cik", P, inv_c,
+                preferred_element_type=pool.dtype,
+                precision=K.matmul_precision(),
+            ) / dcol[:, None, :]
+            p2 = p2.at[t["pk_gidx"]].set(O)
+            if t["pk_pa"].shape[-1]:
+                pa = t["pk_pa"]
+                a = O[pa] * dcol[pa][:, None, :]  # re-scale a-side by D
+                b = p2.reshape(npool, T, T)[t["pk_pgb"]]
+                if hermitian and jnp.iscomplexobj(pool):
+                    b = jnp.conj(b)
+                W = packed_gemm(a, b).astype(pool.dtype)
+                p2 = packed_scatter(p2, W, t, pa, t["pk_ptb"], tbcat)
+            return p2.reshape(pool.shape), d_arr, npiv
+
+        def fact_ldlt(pool, eps, tables, *aux):
+            tbcat = aux[0] if packed else None
             d_arr = jnp.ones((nbc, T), pool.dtype)
             npiv = jnp.int32(0)
             for tag, t in plan_iter(tables):
-                if tag == "unroll":
+                if packed:
+                    if tag == "unroll":
+                        pool, d_arr, npiv = ldlt_level_packed(
+                            (pool, d_arr, npiv), dict(t, eps=eps), tbcat
+                        )
+                    else:
+
+                        def body(carry, x):
+                            return (
+                                ldlt_level_packed(carry, dict(x, eps=eps), tbcat),
+                                None,
+                            )
+
+                        (pool, d_arr, npiv), _ = lax.scan(
+                            body, (pool, d_arr, npiv), t
+                        )
+                elif tag == "unroll":
                     pool, d_arr, npiv = ldlt_level(
                         (pool, d_arr, npiv), dict(t, eps=eps)
                     )
@@ -514,6 +733,8 @@ def build_factorize_fn(
             return pool, d_arr, npiv
 
         jfn = jax.jit(fact_ldlt, donate_argnums=(0,) if donate else ())
+        if packed:
+            return lambda pool, eps: jfn(pool, eps, plan_tables, tbcat_dev)
         return lambda pool, eps: jfn(pool, eps, plan_tables)
 
     if kind == Factorization.LU:
@@ -593,10 +814,68 @@ def build_factorize_fn(
             )
             return pool, pool_u, npiv
 
-        def fact_lu(pool, pool_u, eps, tables):
+        def lu_level_packed(carry, t, eps, tbcat, tbcat_u):
+            pool, pool_u, npiv = carry
+            has_chunks = t["pk_pa"].shape[-1] > 0 or t["pk_gidx"].shape[-2] > 1
+            if has_chunks:
+                diag, linv, uinv_t, piv = K.getrf_inv_batch(pool[t["diag"]], eps)
+            else:
+                diag, piv = K.getrf_batch(pool[t["diag"]], eps)
+            pool = pool.at[t["diag"]].set(diag)
+            valid = t["cols"] < nbc
+            npiv = npiv + jnp.where(valid, piv, 0).sum(dtype=jnp.int32)
+            if not has_chunks:
+                return pool, pool_u, npiv
+            p2 = pool.reshape(npool * T, T)
+            p2u = pool_u.reshape(npool * T, T)
+            # both TRSMs on packed rows:
+            # L rows: A(r, Jcols) @ U_jj^{-1} = P @ Z^T;  Ut rows: P_u @ L^{-T}
+            Ol = jnp.einsum(
+                "cij,ckj->cik", p2[t["pk_gidx"]], uinv_t[t["pk_cpos"]],
+                preferred_element_type=pool.dtype,
+                precision=K.matmul_precision(),
+            )
+            Ou = jnp.einsum(
+                "cij,ckj->cik", p2u[t["pk_gidx"]], linv[t["pk_cpos"]],
+                preferred_element_type=pool.dtype,
+                precision=K.matmul_precision(),
+            )
+            p2 = p2.at[t["pk_gidx"]].set(Ol)
+            p2u = p2u.at[t["pk_gidx"]].set(Ou)
+            if t["pk_pa"].shape[-1]:
+                pa, ptb = t["pk_pa"], t["pk_ptb"]
+                Bl = p2.reshape(npool, T, T)[t["pk_pgb"]]
+                Bu = p2u.reshape(npool, T, T)[t["pk_pgb"]]
+                # L-side: A(r, J) -= L(r,:)U(:,J); rows landing in the
+                # combined diag tile also carry its upper (U) part, so
+                # tbcat keeps diagonal tile-pairs and tbcat_u drops them
+                Wl = packed_gemm(Ol[pa], Bu).astype(pool.dtype)
+                p2 = packed_scatter(p2, Wl, t, pa, ptb, tbcat)
+                Wu = packed_gemm(Ou[pa], Bl).astype(pool.dtype)
+                p2u = packed_scatter(p2u, Wu, t, pa, ptb, tbcat_u)
+            return p2.reshape(pool.shape), p2u.reshape(pool.shape), npiv
+
+        def fact_lu(pool, pool_u, eps, tables, *aux):
+            tbcat, tbcat_u = aux if packed else (None, None)
             npiv = jnp.int32(0)
             for tag, t in plan_iter(tables):
-                if tag == "unroll":
+                if packed:
+                    if tag == "unroll":
+                        pool, pool_u, npiv = lu_level_packed(
+                            (pool, pool_u, npiv), t, eps, tbcat, tbcat_u
+                        )
+                    else:
+
+                        def body(carry, x):
+                            return (
+                                lu_level_packed(carry, x, eps, tbcat, tbcat_u),
+                                None,
+                            )
+
+                        (pool, pool_u, npiv), _ = lax.scan(
+                            body, (pool, pool_u, npiv), t
+                        )
+                elif tag == "unroll":
                     pool, pool_u, npiv = lu_level_unroll(
                         (pool, pool_u, npiv), t, eps
                     )
@@ -611,6 +890,10 @@ def build_factorize_fn(
             return pool, pool_u, npiv
 
         jfn = jax.jit(fact_lu, donate_argnums=(0, 1) if donate else ())
+        if packed:
+            return lambda pool, pool_u, eps: jfn(
+                pool, pool_u, eps, plan_tables, tbcat_dev, tbcat_u_dev
+            )
         return lambda pool, pool_u, eps: jfn(pool, pool_u, eps, plan_tables)
 
     raise ValueError(f"unsupported factorization: {kind}")

@@ -394,12 +394,31 @@ class Pastix:
             from pastix_tpu.analyze.layout import plan_dense_tail
 
             self._dense_tail = plan_dense_tail(self.layout)
+        self._packed_plan = None
+        if (
+            cfg.packed_update
+            and not cfg.incomplete
+            and os.environ.get("PASTIX_PACKED", "1") != "0"
+        ):
+            from pastix_tpu.analyze.packed import build_packed_plan
+
+            self._packed_plan = build_packed_plan(
+                self.layout,
+                self._pat_perm_ext,
+                levels=(
+                    self._dense_tail.levels_lo
+                    if self._dense_tail is not None
+                    else None
+                ),
+                for_lu=cfg.factorization == Factorization.LU,
+            )
         self._fact_fn = build_factorize_fn(
             self.layout, cfg.factorization, update_dtype=upd,
             hermitian=self._hermitian,
             donate=True,  # the A-valued pool is rebuilt per factorization:
             # donating halves peak device memory (pools are GBs at scale)
             dense_tail=self._dense_tail,
+            packed_plan=self._packed_plan,
         )
         self._solve_fn = solve_mod.build_solve_fn(
             self.layout, cfg.factorization, hermitian=self._hermitian,
