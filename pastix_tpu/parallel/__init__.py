@@ -24,6 +24,8 @@ from pastix_tpu.parallel.sharded import (
     build_sharded_factorize_ldlt,
     build_sharded_factorize_lu,
     build_sharded_solve,
+    build_sharded_refine,
+    shard_coo,
 )
 
 __all__ = [
@@ -34,4 +36,6 @@ __all__ = [
     "build_subtree_factorize_llt",
     "proportional_mapping",
     "build_sharded_solve",
+    "build_sharded_refine",
+    "shard_coo",
 ]

@@ -126,7 +126,8 @@ def _shard_plan(layout: SolverLayout, ndev: int, levels=None):
 
 
 def build_sharded_factorize_llt(
-    layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp", dense_tail=None
+    layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp", dense_tail=None,
+    update_dtype=None,
 ):
     """Jitted multi-device LL^T factorization (pool replicated, GEMM work
     sharded over ``tp_axis``, per-level psum fan-in).  Heavy levels are
@@ -184,11 +185,14 @@ def build_sharded_factorize_llt(
             ga = jnp.asarray(t["ga"])[me]
             gb = jnp.asarray(t["gb"])[me]
             gp = jnp.asarray(t["gp"])[me]
+            a, b = pool[ga], pool[gb]
+            if update_dtype is not None:
+                a, b = a.astype(update_dtype), b.astype(update_dtype)
             contrib = jnp.einsum(
-                "bij,bkj->bik", pool[ga], pool[gb],
+                "bij,bkj->bik", a, b,
                 preferred_element_type=pool.dtype,
                 precision=K.matmul_precision(),
-            )
+            ).astype(pool.dtype)
             acc = jnp.zeros((ntouch + 1, T, T), pool.dtype)
             acc = acc.at[gp].add(contrib)
             acc = lax.psum(acc, tp_axis)  # fan-in aggregation over ICI
@@ -223,7 +227,7 @@ def build_sharded_factorize_llt(
 
 def build_sharded_factorize_ldlt(
     layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp",
-    hermitian: bool = False,
+    hermitian: bool = False, update_dtype=None,
 ):
     """Jitted multi-device LDL^T: same fan-in scheme as the LL^T path with
     the unit-L/diagonal-D kernels; returns fn(pool, eps) -> (pool, d, npiv)."""
@@ -279,11 +283,13 @@ def build_sharded_factorize_ldlt(
                 b = pool[gb]
                 if hermitian and jnp.iscomplexobj(b):
                     b = jnp.conj(b)
+                if update_dtype is not None:
+                    a, b = a.astype(update_dtype), b.astype(update_dtype)
                 contrib = jnp.einsum(
                     "bij,bkj->bik", a, b,
                     preferred_element_type=pool.dtype,
                     precision=K.matmul_precision(),
-                )
+                ).astype(pool.dtype)
                 acc = jnp.zeros((t["ntouch"] + 1, T, T), pool.dtype)
                 acc = acc.at[gp].add(contrib)
                 acc = lax.psum(acc, tp_axis)
@@ -329,7 +335,7 @@ def _shard_tables_with_nd(layout: SolverLayout, ndev: int):
 
 
 def build_sharded_factorize_lu(
-    layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp"
+    layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp", update_dtype=None,
 ):
     """Jitted multi-device LU with static pivoting: the L- and U-side
     trailing updates use the same partitioned triples with separate
@@ -369,22 +375,29 @@ def build_sharded_factorize_lu(
                 gb = jnp.asarray(t["gb"])[me]
                 gp = jnp.asarray(t["gp"])[me]
                 # L-side: A(I,K) -= L(I,J) @ U(J,K) = Lp[ga] @ Ut[gb]^T
+                al, bu = pool[ga], pool_u[gb]
+                if update_dtype is not None:
+                    al, bu = al.astype(update_dtype), bu.astype(update_dtype)
                 c = jnp.einsum(
-                    "bij,bkj->bik", pool[ga], pool_u[gb],
+                    "bij,bkj->bik", al, bu,
                     preferred_element_type=pool.dtype,
                     precision=K.matmul_precision(),
-                )
+                ).astype(pool.dtype)
                 acc = jnp.zeros((t["ntouch"] + 1, T, T), pool.dtype)
                 acc = acc.at[gp].add(c)
                 acc = lax.psum(acc, tp_axis)
                 pool = pool.at[t["touched"]].add(-acc[: t["ntouch"]])
                 if t["ntouch_u"]:
                     gpu = jnp.asarray(t["gp_u"])[me]
+                    au, bl = pool_u[ga], pool[gb]
+                    if update_dtype is not None:
+                        au = au.astype(update_dtype)
+                        bl = bl.astype(update_dtype)
                     cu = jnp.einsum(
-                        "bij,bkj->bik", pool_u[ga], pool[gb],
+                        "bij,bkj->bik", au, bl,
                         preferred_element_type=pool.dtype,
                         precision=K.matmul_precision(),
-                    )
+                    ).astype(pool.dtype)
                     accu = jnp.zeros((t["ntouch_u"] + 1, T, T), pool.dtype)
                     accu = accu.at[gpu].add(cu)
                     accu = lax.psum(accu, tp_axis)
@@ -403,20 +416,134 @@ def build_sharded_factorize_lu(
     return jax.jit(fn)
 
 
-def build_sharded_solve(layout: SolverLayout, mesh: Mesh, dp_axis: str = "dp",
-                        dense_tail=None):
-    """Jitted multi-device LL^T solve: RHS batch sharded over ``dp_axis``
-    (independent systems — the data-parallel axis), factor replicated."""
+def build_sharded_solve(layout: SolverLayout, mesh: Mesh, kind=None,
+                        dp_axis: str = "dp", dense_tail=None,
+                        hermitian=None):
+    """Jitted multi-device solve: RHS batch sharded over ``dp_axis``
+    (independent systems — the data-parallel axis), factor replicated.
+
+    Signatures follow build_solve_fn: LLT fn(pool, b); LDLT fn(pool, d, b);
+    LU fn(pool, pool_u, b).  ``dp_axis=None`` runs the sweep replicated
+    (every device solves the full RHS — correct on any mesh, no dp gain).
+    The RHS column count is padded to a dp multiple per call."""
     from pastix_tpu.solve import build_solve_fn
     from pastix_tpu.config import Factorization
 
-    inner = build_solve_fn(layout, Factorization.LLT, dense_tail=dense_tail)
-
+    if kind is None:
+        kind = Factorization.LLT
+    inner = build_solve_fn(
+        layout, kind, hermitian=hermitian, dense_tail=dense_tail
+    )
+    nfact = 1 if kind == Factorization.LLT else 2
+    bspec = P(None, None, dp_axis) if dp_axis else P()
     fn = jax.shard_map(
-        lambda pool, b: inner(pool, b),
+        lambda *args: inner(*args),
         mesh=mesh,
-        in_specs=(P(), P(None, None, dp_axis)),
-        out_specs=P(None, None, dp_axis),
+        in_specs=(P(),) * nfact + (bspec,),
+        out_specs=bspec,
         check_vma=False,
     )
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    if not dp_axis:
+        return jfn
+    ndp = mesh.shape[dp_axis]
+
+    def wrap(*args):
+        b = args[-1]
+        R = b.shape[-1]
+        pad = (-R) % ndp
+        if pad:
+            b = jnp.concatenate(
+                [b, jnp.zeros(b.shape[:-1] + (pad,), b.dtype)], axis=-1
+            )
+        out = jfn(*args[:-1], b)
+        return out[..., :R] if pad else out
+
+    return wrap
+
+
+def shard_coo(A_coo, mesh: Mesh, tp_axis: str = "tp", dtype=np.float32):
+    """Pad a scipy COO matrix's arrays to a tp multiple for P(tp) sharding.
+
+    Pad entries carry value 0 at (row 0, col 0) — a scatter-add of zero."""
+    ndev = mesh.shape[tp_axis]
+    nnz = A_coo.nnz
+    pad = (-nnz) % ndev
+    arow = np.concatenate([A_coo.row.astype(np.int32), np.zeros(pad, np.int32)])
+    acol = np.concatenate([A_coo.col.astype(np.int32), np.zeros(pad, np.int32)])
+    avals = np.concatenate([A_coo.data.astype(dtype), np.zeros(pad, dtype)])
+    return arow, acol, avals
+
+
+def build_sharded_refine(layout: SolverLayout, mesh: Mesh, kind=None,
+                         tp_axis: str = "tp", hermitian=None,
+                         dense_tail=None):
+    """Fused multi-device solve + Richardson refinement in one program.
+
+    The residual SpMV is sharded over ``tp_axis`` (COO partitioned with
+    :func:`shard_coo`; partial products summed with one psum — the
+    distributed CscbMAx of the reference's raff loop, SURVEY.md §3.5);
+    the factored sweeps run replicated.
+
+    Returns fn(factor_args, arow, acol, avals, b, eps, itermax) ->
+    (x, iters, rel_res) with factor_args = (pool,) / (pool, d) /
+    (pool, pool_u) and b of shape (nbc, T, R)."""
+    from pastix_tpu.solve import build_solve_fn
+    from pastix_tpu.config import Factorization
+
+    if kind is None:
+        kind = Factorization.LLT
+    inner = build_solve_fn(
+        layout, kind, hermitian=hermitian, dense_tail=dense_tail
+    )
+    nfact = 1 if kind == Factorization.LLT else 2
+    nbc, T = layout.nbc, layout.T
+    _TINY = 1e-30
+
+    def refine_local(*args):
+        fa, (arow, acol, avals, b, eps, itermax) = args[:nfact], args[nfact:]
+        R = b.shape[-1]
+        bf = b.reshape(nbc * T, R)
+
+        def spmv(x):
+            yf = jnp.zeros_like(bf)
+            yf = yf.at[arow].add(avals[:, None] * x.reshape(nbc * T, R)[acol])
+            return lax.psum(yf, tp_axis).reshape(nbc, T, R)
+
+        def res2(rr):
+            return jnp.sum(rr.reshape(nbc * T, R) ** 2)
+
+        bnorm2 = jnp.maximum(jnp.sum(bf * bf), _TINY)
+        x = inner(*fa, b)
+        r = b - spmv(x)
+
+        def cond(c):
+            _, rr, prev2, it = c
+            r2 = res2(rr)
+            improving = r2 < 0.25 * prev2  # stop grinding at the fp32 floor
+            return (r2 > eps * eps * bnorm2) & improving & (it < itermax)
+
+        def body(c):
+            x, rr, _, it = c
+            x = x + inner(*fa, rr)
+            return x, b - spmv(x), res2(rr), it + 1
+
+        x, r, _, it = lax.while_loop(
+            cond, body,
+            (x, r, jnp.full((), np.inf, dtype=bnorm2.dtype), jnp.int32(0)),
+        )
+        return x, it, jnp.sqrt(res2(r) / bnorm2)
+
+    fn = jax.shard_map(
+        refine_local,
+        mesh=mesh,
+        in_specs=(P(),) * nfact + (P(tp_axis), P(tp_axis), P(tp_axis), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    jfn = jax.jit(fn)
+
+    def wrap(fa, arow, acol, avals, b, eps, itermax):
+        return jfn(*fa, arow, acol, avals, b, eps, itermax)
+
+    return wrap

@@ -55,6 +55,8 @@ class Pastix:
         self._fact_fn = None
         self._solve_fn = None
         self._dinv_fn = None
+        self._mesh = None
+        self._sharded_refine_fn = None
         self._solve_fn_inv = None
         self._fwd_fn = None
         self._bwd_fn = None
@@ -379,6 +381,41 @@ class Pastix:
             densify_tail_frac=cfg.dense_tail_fill if use_tail else 0.0,
         )
         upd = np.dtype(cfg.update_dtype).type if cfg.update_dtype else None
+        # --- device mesh (IPARM-level distribution transparency) --------
+        # mesh_shape routes factorize/solve/refine through the sharded
+        # builders (parallel/sharded.py); the same config solves on one
+        # device when mesh_shape is None — the reference's pastix() is
+        # distribution-transparent the same way (SURVEY.md §3.1/3.2)
+        self._mesh = None
+        self._tp_axis = self._dp_axis = None
+        if cfg.mesh_shape is not None:
+            import jax as _jax
+
+            from pastix_tpu.parallel import make_mesh
+
+            shape = tuple(int(s) for s in cfg.mesh_shape)
+            names = tuple(cfg.mesh_axis_names)
+            if len(names) != len(shape):
+                names = ("dp", "tp")[2 - len(shape):] if len(shape) <= 2 else (
+                    tuple(f"ax{i}" for i in range(len(shape) - 1)) + ("tp",)
+                )
+            ndev = int(np.prod(shape))
+            devs = _jax.devices()
+            if len(devs) < ndev:
+                raise ValueError(
+                    f"mesh_shape {shape} needs {ndev} devices but only "
+                    f"{len(devs)} are visible"
+                )
+            if np.iscomplexobj(np.zeros(0, np.dtype(cfg.compute_dtype))):
+                if cfg.verbosity >= Verbosity.NO:
+                    print(
+                        "[pastix-tpu] complex dtypes keep the single-device "
+                        "path; ignoring mesh_shape"
+                    )
+            else:
+                self._mesh = make_mesh(shape, names, devices=devs[:ndev])
+                self._tp_axis = names[-1]
+                self._dp_axis = names[0] if len(names) > 1 else None
         # device-side coefinit: each factorization uploads only the nnz
         # values; the tile pool is scattered together on device
         from pastix_tpu.numeric.factorize import build_coefinit_fn
@@ -412,19 +449,48 @@ class Pastix:
                 ),
                 for_lu=cfg.factorization == Factorization.LU,
             )
-        self._fact_fn = build_factorize_fn(
-            self.layout, cfg.factorization, update_dtype=upd,
-            hermitian=self._hermitian,
-            donate=True,  # the A-valued pool is rebuilt per factorization:
-            # donating halves peak device memory (pools are GBs at scale)
-            dense_tail=self._dense_tail,
-            packed_plan=self._packed_plan,
-        )
-        self._solve_fn = solve_mod.build_solve_fn(
-            self.layout, cfg.factorization, hermitian=self._hermitian,
-            dense_tail=self._dense_tail,
-        )
-        if cfg.fast_solve:
+        if self._mesh is not None:
+            from pastix_tpu.parallel import (
+                build_sharded_factorize_ldlt,
+                build_sharded_factorize_llt,
+                build_sharded_factorize_lu,
+                build_sharded_solve,
+            )
+
+            if cfg.factorization == Factorization.LLT:
+                self._fact_fn = build_sharded_factorize_llt(
+                    self.layout, self._mesh, tp_axis=self._tp_axis,
+                    dense_tail=self._dense_tail, update_dtype=upd,
+                )
+            elif cfg.factorization in (Factorization.LDLT, Factorization.LDLH):
+                self._fact_fn = build_sharded_factorize_ldlt(
+                    self.layout, self._mesh, tp_axis=self._tp_axis,
+                    hermitian=self._hermitian, update_dtype=upd,
+                )
+            else:
+                self._fact_fn = build_sharded_factorize_lu(
+                    self.layout, self._mesh, tp_axis=self._tp_axis,
+                    update_dtype=upd,
+                )
+            self._solve_fn = build_sharded_solve(
+                self.layout, self._mesh, kind=cfg.factorization,
+                dp_axis=self._dp_axis, dense_tail=self._dense_tail,
+                hermitian=self._hermitian,
+            )
+        else:
+            self._fact_fn = build_factorize_fn(
+                self.layout, cfg.factorization, update_dtype=upd,
+                hermitian=self._hermitian,
+                donate=True,  # the A-valued pool is rebuilt per refactorize:
+                # donating halves peak device memory (pools are GBs at scale)
+                dense_tail=self._dense_tail,
+                packed_plan=self._packed_plan,
+            )
+            self._solve_fn = solve_mod.build_solve_fn(
+                self.layout, cfg.factorization, hermitian=self._hermitian,
+                dense_tail=self._dense_tail,
+            )
+        if cfg.fast_solve and self._mesh is None:
             from pastix_tpu.numeric.factorize import build_diag_inverse_fn
 
             self._dinv_fn = build_diag_inverse_fn(
@@ -437,9 +503,26 @@ class Pastix:
         else:
             self._dinv_fn = self._solve_fn_inv = None
         self._devref_fn = None
+        self._sharded_refine_fn = None
         if (
+            self._mesh is not None
+            and cfg.device_refine
+            and cfg.refinement != RefinementMethod.NONE
+        ):
+            # multi-device: fused solve + Richardson with a tp-sharded SpMV
+            # (one psum per residual); the host fp64 loop finishes the
+            # descent with the sharded solve as preconditioner if needed
+            from pastix_tpu.parallel import build_sharded_refine
+
+            self._sharded_refine_fn = build_sharded_refine(
+                self.layout, self._mesh, kind=cfg.factorization,
+                tp_axis=self._tp_axis, hermitian=self._hermitian,
+                dense_tail=self._dense_tail,
+            )
+        elif (
             cfg.device_refine
             and cfg.fast_solve
+            and self._mesh is None
             and cfg.refinement != RefinementMethod.NONE
             and not np.issubdtype(np.dtype(cfg.compute_dtype), np.complexfloating)
         ):
@@ -540,6 +623,20 @@ class Pastix:
                 jnp.asarray(Ac.row.astype(np.int32)),
                 jnp.asarray(Ac.col.astype(np.int32)),
                 jnp.asarray(Ac.data.astype(dtype)),
+            )
+        elif self._sharded_refine_fn is not None and not cfg.ooc:
+            # COO padded to a tp multiple for the sharded residual SpMV
+            import jax.numpy as jnp
+            import scipy.sparse as _sp
+
+            from pastix_tpu.parallel import shard_coo
+
+            arow, acol, avals = shard_coo(
+                _sp.coo_matrix(self._A_perm), self._mesh,
+                tp_axis=self._tp_axis, dtype=dtype,
+            )
+            self._a_coo_dev = (
+                jnp.asarray(arow), jnp.asarray(acol), jnp.asarray(avals)
             )
         else:
             self._a_coo_dev = None
@@ -683,6 +780,32 @@ class Pastix:
             out = out[:, 0]
         return out, int(it)
 
+    def _sharded_solve_refined(self, b_ext: np.ndarray):
+        """Multi-device fused solve + Richardson (sharded SpMV psum)."""
+        import jax.numpy as jnp
+
+        cfg = self.config
+        lay = self.layout
+        dt = np.dtype(cfg.compute_dtype)
+        bb = jnp.asarray(solve_mod.rhs_to_blocks(lay, b_ext, dtype=dt))
+        arow, acol, avals = self._a_coo_dev
+        eps_dev = np.float32(max(cfg.refinement_eps, 5e-7))
+        f = self.factors
+        if cfg.factorization == Factorization.LLT:
+            fa = (f.pool,)
+        elif cfg.factorization in (Factorization.LDLT, Factorization.LDLH):
+            fa = (f.pool, f.d)
+        else:
+            fa = (f.pool, f.pool_u)
+        x, it, _ = self._sharded_refine_fn(
+            fa, arow, acol, avals, bb,
+            eps_dev, np.int32(min(cfg.refinement_itermax, 50)),
+        )
+        out = solve_mod.blocks_to_rhs(lay, np.asarray(x))
+        if np.asarray(b_ext).ndim == 1:
+            out = out[:, 0]
+        return out, int(it)
+
     def solve(self, b: np.ndarray, refine: Optional[bool] = None) -> np.ndarray:
         """Solve A x = b (original ordering); refinement per config."""
         cfg = self.config
@@ -702,8 +825,18 @@ class Pastix:
             # device GMRES carries one Krylov basis: single RHS only
             and (cfg.refinement != RefinementMethod.GMRES or nrhs == 1)
         )
-        if use_devref:
-            x_ext, dev_iters = self._device_solve_refined(b_ext)
+        use_sharded_ref = (
+            getattr(self, "_sharded_refine_fn", None) is not None
+            and self._a_coo_dev is not None
+            and not getattr(self.factors, "_offloaded", False)
+            and do_refine
+        )
+        if use_devref or use_sharded_ref:
+            x_ext, dev_iters = (
+                self._device_solve_refined(b_ext)
+                if use_devref
+                else self._sharded_solve_refined(b_ext)
+            )
             # converged on device (to the fp32 floor or better)? check the
             # true fp64 residual; the host loop below finishes if needed
             r = b_ext - self._A_perm64 @ x_ext

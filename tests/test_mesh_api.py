@@ -1,0 +1,113 @@
+"""Distribution-transparent product API: PastixConfig.mesh_shape routes
+factorize/solve/refine through the sharded builders — the dpastix()-style
+workflow where the same call runs on 1 or N devices (SURVEY.md §3.1/3.2)."""
+
+import jax
+import numpy as np
+import pytest
+
+from pastix_tpu.config import Factorization, PastixConfig, RefinementMethod
+from pastix_tpu.generators import poisson_3d, random_unsym
+from pastix_tpu.pastix import Pastix, spsolve
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-virtual-device CPU mesh"
+)
+
+
+def test_spsolve_mesh_llt():
+    A = poisson_3d(8)
+    S = A.to_scipy()
+    b = S @ np.ones(A.n)
+    x = spsolve(S, b, config=PastixConfig(tile_size=8, mesh_shape=(2, 4)))
+    assert np.abs(x - 1).max() < 1e-8
+
+
+def test_mesh_llt_matches_single_device():
+    A = poisson_3d(8)
+    S = A.to_scipy()
+    rng = np.random.default_rng(3)
+    B = S @ rng.standard_normal((A.n, 4))
+    x1 = Pastix(A, PastixConfig(tile_size=8)).solve(B)
+    xn = Pastix(A, PastixConfig(tile_size=8, mesh_shape=(8,))).solve(B)
+    res = np.linalg.norm(S @ xn - B) / np.linalg.norm(B)
+    assert res < 1e-9
+    np.testing.assert_allclose(xn, x1, rtol=1e-6, atol=1e-8)
+
+
+def test_mesh_ldlt_end_to_end():
+    A = poisson_3d(8)
+    S = A.to_scipy()
+    b = S @ np.arange(1, A.n + 1, dtype=float)
+    solver = Pastix(
+        A,
+        PastixConfig(
+            tile_size=8,
+            factorization=Factorization.LDLT,
+            mesh_shape=(2, 4),
+            mesh_axis_names=("dp", "tp"),
+        ),
+    )
+    x = solver.solve(b)
+    assert solver._mesh is not None
+    res = np.linalg.norm(S @ x - b) / np.linalg.norm(b)
+    assert res < 1e-9
+
+
+def test_mesh_lu_end_to_end():
+    A = random_unsym(300, density=0.03, seed=9)
+    S = A.to_scipy()
+    b = S @ np.ones(A.n)
+    solver = Pastix(
+        A,
+        PastixConfig(
+            tile_size=8,
+            factorization=Factorization.LU,
+            mesh_shape=(4,),
+        ),
+    )
+    x = solver.solve(b)
+    assert solver._mesh is not None
+    res = np.linalg.norm(S @ x - b) / np.linalg.norm(b)
+    assert res < 1e-9
+
+
+def test_mesh_sharded_device_refine_used():
+    """The fused sharded refine (psum SpMV) is wired and converges."""
+    A = poisson_3d(8)
+    S = A.to_scipy()
+    b = S @ np.ones(A.n)
+    solver = Pastix(
+        A,
+        PastixConfig(
+            tile_size=8,
+            mesh_shape=(8,),
+            refinement=RefinementMethod.SIMPLE,
+            refinement_eps=1e-6,
+        ),
+    )
+    x = solver.solve(b)
+    assert solver._sharded_refine_fn is not None
+    assert solver.report.refine_iters >= 0
+    assert np.abs(x - 1).max() < 1e-5
+
+
+def test_mesh_pattern_reuse():
+    """step-by-step refactorization keeps the mesh path."""
+    A = poisson_3d(6)
+    S = A.to_scipy()
+    solver = Pastix(A, PastixConfig(tile_size=8, mesh_shape=(4,)))
+    b = S @ np.ones(A.n)
+    x = solver.solve(b)
+    assert np.abs(x - 1).max() < 1e-8
+    vals2 = A.values * 2.0
+    solver.factorize(values=vals2)
+    x2 = solver.solve(b)
+    assert np.abs(x2 - 0.5).max() < 1e-8
+
+
+def test_mesh_too_many_devices_raises():
+    A = poisson_3d(4)
+    with pytest.raises(ValueError, match="devices"):
+        Pastix(A, PastixConfig(tile_size=8, mesh_shape=(64,))).analyze()
