@@ -84,19 +84,16 @@ class PackedLevel:
     gidx: np.ndarray  # (nchunk+1, T) row-gather indices into pool2d
     cpos: np.ndarray  # (nchunk+1,) chunk's column position in the level batch
     ccol: np.ndarray  # (nchunk+1,) chunk's block column (LDLT d-scaling)
-    tbr: np.ndarray  # (nchunk+1, T) per-row TBcat row offsets
-    rloc: np.ndarray  # (nchunk+1, T) row position within the target tile
     pa: np.ndarray  # (ng,) pair a-chunk (level-local index)
-    ptb: np.ndarray  # (ng,) pair b-tile, local index within the column
     pgb: np.ndarray  # (ng,) pair b-tile pool index (grid gather)
+    dst: np.ndarray  # (ng, T) scatter row into pool2d (>= npool*T drops)
+    dst_u: Optional[np.ndarray]  # (ng, T) LU U-side rows (diag pairs OOB'd)
 
 
 @dataclasses.dataclass
 class PackedPlan:
     T: int
     npool: int
-    tbcat: np.ndarray  # int32 tile-pair -> pool idx (OOB = npool); [-1] sentinel
-    tbcat_u: Optional[np.ndarray]  # LU U-side variant (diag pairs OOB'd)
     levels: list  # list[PackedLevel], aligned with the factorization levels
 
     def gemm_flops(self) -> float:
@@ -134,16 +131,18 @@ def build_packed_plan(
         out = np.where(keys[posc] == key, posc, npool)
         return out.astype(np.int64)
 
-    # --- per-column chunk metadata + TBcat blocks -----------------------
+    # --- per-column chunk metadata + precomputed scatter rows -----------
     # only columns that appear in some level with off-diag support need one
     active = np.zeros(nbc, dtype=bool)
     for lv in levels:
         active[lv.cols] = True
 
-    tb_blocks = []
-    tb_off = np.full(nbc, -1, dtype=np.int64)
+    OOB_ROW = npool * T
+    assert (npool + 1) * T <= np.iinfo(np.int32).max, (
+        "tile pool too large for int32 row indexing"
+    )
+
     col_meta: list = [None] * nbc
-    off = 0
     for Kcol in range(nbc):
         if not active[Kcol]:
             continue
@@ -156,74 +155,68 @@ def build_packed_plan(
         ti = np.searchsorted(tiles, supp // T).astype(np.int64)
         rloc = (supp % T).astype(np.int64)
         prow = lookup_safe(supp // T, np.full(h, Kcol)) * T + rloc
-        # TB block (m+1)^2: [a, b] = pool idx of tile (tiles[a], tiles[b])
-        # for a >= b, OOB (npool) above and in the sentinel row/col m
-        TB = np.full(((m + 1), (m + 1)), npool, dtype=np.int64)
-        ai, bi = np.tril_indices(m)
-        TB[ai, bi] = lookup_safe(tiles[ai], tiles[bi])
-        tb_blocks.append(TB.ravel())
-        tb_off[Kcol] = off
-        off += (m + 1) * (m + 1)
         mh = -(-h // T)
+        pad = mh * T - h
+        # per-(row, b-tile) scatter destinations, fully host-computed:
+        # dst(r, tb) = pool_idx(tile(r), tiles[tb]) * T + r % T
+        ai, bi = np.tril_indices(m)
+        TB = np.full((m, m), npool, dtype=np.int64)
+        TB[ai, bi] = lookup_safe(tiles[ai], tiles[bi])
+        DST = TB[ti] * T + rloc[:, None]  # (h, m); upper pairs -> OOB
+        DST = np.concatenate(
+            [DST, np.full((pad, m), OOB_ROW, np.int64)]
+        ).reshape(mh, T, m)
+        if for_lu:
+            TBu = TB.copy()
+            np.fill_diagonal(TBu, npool)  # diag pairs: L-side covers them
+            DSTU = TBu[ti] * T + rloc[:, None]
+            DSTU = np.concatenate(
+                [DSTU, np.full((pad, m), OOB_ROW, np.int64)]
+            ).reshape(mh, T, m)
+        else:
+            DSTU = None
+        gidx = np.concatenate(
+            [prow, np.full(pad, OOB_ROW, np.int64)]
+        ).reshape(mh, T)
+        # pairs: chunk c x local b-tile tb for tb = 0 .. ti_last(c)
+        last = np.minimum((np.arange(mh) + 1) * T, h) - 1
+        nb = ti[last] + 1  # pairs per chunk
         pgb_col = lookup_safe(tiles, np.full(m, Kcol))
-        col_meta[Kcol] = (supp, prow, ti, rloc, m, mh, pgb_col)
-    tbcat = (
-        np.concatenate(tb_blocks + [np.asarray([npool], np.int64)])
-        if tb_blocks
-        else np.asarray([npool], np.int64)
-    )
-    sentinel = tbcat.size - 1
-
-    OOB_ROW = npool * T
-    assert (npool + 1) * T <= np.iinfo(np.int32).max, (
-        "tile pool too large for int32 row indexing"
-    )
+        col_meta[Kcol] = (gidx, DST, DSTU, nb, pgb_col, mh)
 
     plevels = []
     for lv in levels:
-        g_list, cp_list, cc_list, tbr_list, rl_list = [], [], [], [], []
-        pa_list, ptb_list, pgb_list = [], [], []
+        g_list, cp_list, cc_list = [], [], []
+        pa_list, pgb_list, dst_list, dstu_list = [], [], [], []
         c0 = 0
         for pos, Kcol in enumerate(lv.cols):
             meta = col_meta[Kcol]
             if meta is None:
                 continue
-            supp, prow, ti, rloc, m, mh, pgb_col = meta
-            h = supp.size
-            pad = mh * T - h
-
-            def padded(a, fill):
-                return np.concatenate([a, np.full(pad, fill, np.int64)])
-
-            g_list.append(padded(prow, OOB_ROW).reshape(mh, T))
-            tbr_list.append(
-                padded(tb_off[Kcol] + ti * (m + 1), sentinel).reshape(mh, T)
-            )
-            rl_list.append(padded(rloc, 0).reshape(mh, T))
+            gidx, DST, DSTU, nb, pgb_col, mh = meta
+            g_list.append(gidx)
             cp_list.append(np.full(mh, pos, np.int64))
             cc_list.append(np.full(mh, Kcol, np.int64))
-            # pairs: chunk c x local b-tile tb for tb = 0 .. ti_last(c)
-            last = np.minimum((np.arange(mh) + 1) * T, h) - 1
-            nb = ti[last] + 1  # pairs per chunk
             pa_list.append(c0 + np.repeat(np.arange(mh), nb))
-            ptb = np.concatenate([np.arange(k) for k in nb]) if mh else (
-                np.empty(0, np.int64)
-            )
-            ptb_list.append(ptb)
-            pgb_list.append(pgb_col[ptb])
+            for c in range(mh):
+                k = nb[c]
+                pgb_list.append(pgb_col[:k])
+                dst_list.append(DST[c, :, :k].T)  # (k, T)
+                if DSTU is not None:
+                    dstu_list.append(DSTU[c, :, :k].T)
             c0 += mh
 
         nchunk = c0
         pad_g = np.full((1, T), OOB_ROW, np.int64)
-        pad_tbr = np.full((1, T), sentinel, np.int64)
-        pad_z = np.zeros((1, T), np.int64)
 
         def cat2(lst, padrow):
             return np.concatenate(lst + [padrow]) if lst else padrow
 
-        gidx = cat2(g_list, pad_g)
-        tbr = cat2(tbr_list, pad_tbr)
-        rl = cat2(rl_list, pad_z)
+        def cat1(lst, fill=None):
+            if lst:
+                return np.concatenate(lst)
+            return np.empty(0, np.int64)
+
         cpos = (
             np.concatenate(cp_list + [np.zeros(1, np.int64)])
             if cp_list
@@ -234,42 +227,27 @@ def build_packed_plan(
             if cc_list
             else np.full(1, nbc, np.int64)
         )
-        cat1 = lambda lst: (
-            np.concatenate(lst) if lst else np.empty(0, np.int64)
+        dst = (
+            np.concatenate(dst_list)
+            if dst_list
+            else np.empty((0, T), np.int64)
+        )
+        dst_u = (
+            np.concatenate(dstu_list)
+            if dstu_list
+            else (np.empty((0, T), np.int64) if for_lu else None)
         )
         plevels.append(
             PackedLevel(
                 nchunk=nchunk,
-                gidx=gidx.astype(np.int32),
+                gidx=cat2(g_list, pad_g).astype(np.int32),
                 cpos=cpos.astype(np.int32),
                 ccol=ccol.astype(np.int32),
-                tbr=tbr.astype(np.int32),
-                rloc=rl.astype(np.int32),
                 pa=cat1(pa_list).astype(np.int32),
-                ptb=cat1(ptb_list).astype(np.int32),
                 pgb=cat1(pgb_list).astype(np.int32),
+                dst=dst.astype(np.int32),
+                dst_u=dst_u.astype(np.int32) if dst_u is not None else None,
             )
         )
 
-    tbcat_u = None
-    if for_lu:
-        # U-side scatter: same pair table with diagonal tile-pairs dropped
-        # (the L-side (T,T) product already covers the combined diag tile's
-        # upper/U part, see factorize's LU packed body)
-        tbcat_u = tbcat.copy()
-        for Kcol in range(nbc):
-            if tb_off[Kcol] < 0 or col_meta[Kcol] is None:
-                continue
-            m = col_meta[Kcol][4]
-            base = tb_off[Kcol]
-            diag_pos = base + np.arange(m) * (m + 1) + np.arange(m)
-            tbcat_u[diag_pos] = npool
-        tbcat_u = tbcat_u.astype(np.int32)
-
-    return PackedPlan(
-        T=T,
-        npool=npool,
-        tbcat=tbcat.astype(np.int32),
-        tbcat_u=tbcat_u,
-        levels=plevels,
-    )
+    return PackedPlan(T=T, npool=npool, levels=plevels)

@@ -257,44 +257,48 @@ def build_device_refine_fn(
         return x, it, rel
 
     # ------------------------------------------------------------------
-    # Right-preconditioned GMRES(m) (API_RAF_GMRES) — any kind, R == 1.
+    # Right-preconditioned GMRES(m) (API_RAF_GMRES) — any kind, any R.
     # Fixed-m Arnoldi cycles (static shapes for XLA) with Givens
     # rotations tracking the residual; outer while_loop over restarts.
+    # The whole RHS block iterates in lockstep: each column carries its
+    # own Krylov basis/Hessenberg slice (the reference refines the full
+    # block together, src/sopalin/src/raff.c).
     # ------------------------------------------------------------------
     m = int(restart)
 
     def gmres(fa, arow, acol, avals, b, eps, itermax):
-        assert b.shape[-1] == 1, "device GMRES refines one RHS at a time"
+        R = b.shape[-1]
         nf = nbc * T
-        bf = b.reshape(nf, 1)
-        spmv = make_spmv(arow, acol, avals, 1, bf)
-        bnorm = jnp.sqrt(jnp.maximum(jnp.sum(bf * bf), _TINY))
+        bf = b.reshape(nf, R)
+        spmv = make_spmv(arow, acol, avals, R, bf)
+        bnorm = jnp.sqrt(jnp.maximum(jnp.sum(bf * bf, axis=0), _TINY))  # (R,)
         Ltail = prep(fa)
         dt = b.dtype
 
         def safe_inv(a):
             return jnp.where(jnp.abs(a) > _TINY, 1.0 / a, 0.0)
 
-        def precond_vec(v):  # flat (nf,) -> flat (nf,)
-            return M(fa, Ltail, v.reshape(nbc, T, 1)).reshape(nf)
+        def precond_cols(v):  # (nf, R) -> (nf, R)
+            return M(fa, Ltail, v.reshape(nbc, T, R)).reshape(nf, R)
 
         def cycle(x):
-            r = (b - spmv(x)).reshape(nf)
-            beta = jnp.sqrt(jnp.sum(r * r))
-            V = jnp.zeros((m + 1, nf), dt).at[0].set(r * safe_inv(beta))
-            H = jnp.zeros((m + 1, m), dt)  # Givens-rotated columns (upper R)
-            cs = jnp.zeros(m, dt)
-            sn = jnp.zeros(m, dt)
-            g = jnp.zeros(m + 1, dt).at[0].set(beta)
+            r = (b - spmv(x)).reshape(nf, R)
+            beta = jnp.sqrt(jnp.sum(r * r, axis=0))  # (R,)
+            V = jnp.zeros((m + 1, nf, R), dt).at[0].set(r * safe_inv(beta))
+            H = jnp.zeros((m + 1, m, R), dt)  # Givens-rotated columns
+            cs = jnp.zeros((m, R), dt)
+            sn = jnp.zeros((m, R), dt)
+            g = jnp.zeros((m + 1, R), dt).at[0].set(beta)
 
             def arnoldi(j, st):
                 V, H, cs, sn, g = st
-                w = spmv(precond_vec(V[j]).reshape(nbc, T, 1)).reshape(nf)
-                # modified-Gram-Schmidt coefficients against rows <= j
-                h = V @ w
-                h = jnp.where(jnp.arange(m + 1) <= j, h, 0.0)
-                w = w - h @ V
-                hj1 = jnp.sqrt(jnp.sum(w * w))
+                w = spmv(precond_cols(V[j]).reshape(nbc, T, R)).reshape(nf, R)
+                # modified-Gram-Schmidt coefficients against rows <= j,
+                # independently per column
+                h = jnp.einsum("inr,nr->ir", V, w)  # (m+1, R)
+                h = jnp.where(jnp.arange(m + 1)[:, None] <= j, h, 0.0)
+                w = w - jnp.einsum("ir,inr->nr", h, V)
+                hj1 = jnp.sqrt(jnp.sum(w * w, axis=0))  # (R,)
                 V = V.at[j + 1].set(w * safe_inv(hj1))
 
                 def rot(i, hh):
@@ -317,26 +321,30 @@ def build_device_refine_fn(
             V, H, cs, sn, g = lax.fori_loop(
                 0, m, arnoldi, (V, H, cs, sn, g)
             )
-            # back-substitute R y = g (breakdown columns have zero diag and
-            # zero rhs: substitute a unit pivot so the solve stays finite)
-            Rm = H[:m, :m]
-            diag = jnp.abs(jnp.diagonal(Rm))
-            Rm = Rm + jnp.diag(jnp.where(diag > _TINY, 0.0, 1.0))
+            # back-substitute R y = g per column (breakdown columns get a
+            # unit pivot so the solve stays finite)
+            Rm = jnp.moveaxis(H[:m, :m], -1, 0)  # (R, m, m)
+            diag = jnp.abs(Rm[:, jnp.arange(m), jnp.arange(m)])  # (R, m)
+            fix = jnp.where(diag > _TINY, 0.0, 1.0)
+            Rm = Rm + fix[:, :, None] * jnp.eye(m, dtype=dt)
             y = lax.linalg.triangular_solve(
-                Rm, g[:m][:, None], left_side=True, lower=False
-            )[:, 0]
-            u = y @ V[:m]
-            x = x + M(fa, Ltail, u.reshape(nbc, T, 1))
-            return x, jnp.abs(g[m])
+                Rm, jnp.moveaxis(g[:m], -1, 0)[:, :, None],
+                left_side=True, lower=False,
+            )[:, :, 0]  # (R, m)
+            u = jnp.einsum("rm,mnr->nr", y, V[:m])
+            x = x + M(fa, Ltail, u.reshape(nbc, T, R))
+            return x, jnp.abs(g[m])  # (R,) residual estimates
 
         x0 = M(fa, Ltail, b)
 
         def cond(c):
             _, it, res, prev = c
+            worst = jnp.max(res / bnorm)
+            prev_w = jnp.max(prev / bnorm)
             return (
-                (res > eps * bnorm)
-                & (res < 0.5 * prev)  # restart must help; else fp32 floor
-                & jnp.isfinite(res)
+                (worst > eps)
+                & (worst < 0.5 * prev_w)  # restart must help; else floor
+                & jnp.isfinite(worst)
                 & (it < itermax)
             )
 
@@ -345,15 +353,17 @@ def build_device_refine_fn(
             x, new_res = cycle(x)
             return x, it + m, new_res, res
 
-        r0 = jnp.sqrt(jnp.maximum(jnp.sum((b - spmv(x0)) ** 2), 0.0))
+        r0 = jnp.sqrt(
+            jnp.maximum(jnp.sum((b - spmv(x0)) ** 2, axis=(0, 1)), 0.0)
+        )
         x, it, res, _ = lax.while_loop(
             cond, body,
-            (x0, jnp.int32(0), r0, jnp.full((), np.inf, dtype=dt)),
+            (x0, jnp.int32(0), r0, jnp.full((R,), np.inf, dtype=dt)),
         )
         # res tracks the Givens estimate after the last cycle (== r0 before
         # any cycle); report the true residual of the returned x
-        rtrue = jnp.sqrt(jnp.sum((b - spmv(x)) ** 2))
-        return x, it, rtrue / bnorm
+        rtrue = jnp.sqrt(jnp.sum((b - spmv(x)) ** 2, axis=(0, 1)))
+        return x, it, jnp.max(rtrue / bnorm)
 
     impl = {
         RefinementMethod.SIMPLE: richardson,

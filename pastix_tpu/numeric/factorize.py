@@ -196,28 +196,30 @@ def _unroll_tables(lv, use_pallas: bool = False):
     return t
 
 
-def _packed_unroll(pl):
+def _packed_unroll(pl, for_lu=False):
     """Packed-level fields for one unrolled level (pk_ prefix)."""
-    return {
+    t = {
         "pk_gidx": np.asarray(pl.gidx),
         "pk_cpos": np.asarray(pl.cpos),
         "pk_ccol": np.asarray(pl.ccol),
-        "pk_tbr": np.asarray(pl.tbr),
-        "pk_rloc": np.asarray(pl.rloc),
         "pk_pa": np.asarray(pl.pa),
-        "pk_ptb": np.asarray(pl.ptb),
         "pk_pgb": np.asarray(pl.pgb),
+        "pk_dst": np.asarray(pl.dst),
     }
+    if for_lu:
+        t["pk_dst_u"] = np.asarray(pl.dst_u)
+    return t
 
 
-def _packed_scan(pls, nbc, npool):
+def _packed_scan(pls, nbc, npool, for_lu=False):
     """Stack a run of PackedLevels for lax.scan (pad chunks/pairs)."""
     maxc = max(pl.gidx.shape[0] for pl in pls)  # includes each pad chunk
     maxg = max(max(pl.pa.size for pl in pls), 1)
     T = pls[0].gidx.shape[1]
+    OOB_ROW = npool * T
 
-    def pad2(a, fillrow):
-        out = np.broadcast_to(fillrow, (maxc, T)).copy()
+    def pad2(a, fill, m):
+        out = np.full((m, T), fill, a.dtype)
         out[: a.shape[0]] = a
         return out
 
@@ -226,30 +228,29 @@ def _packed_scan(pls, nbc, npool):
         out[: a.size] = a
         return out
 
-    g, tbr, rl, cp, cc, pa, ptb, pgb = [], [], [], [], [], [], [], []
+    g, cp, cc, pa, pgb, dst, dstu = [], [], [], [], [], [], []
     for pl in pls:
-        padrow_g = pl.gidx[-1]  # the level's own pad chunk (all-OOB)
-        padrow_t = pl.tbr[-1]
-        zrow = np.zeros(T, pl.rloc.dtype)
-        g.append(pad2(pl.gidx, padrow_g))
-        tbr.append(pad2(pl.tbr, padrow_t))
-        rl.append(pad2(pl.rloc, zrow))
+        g.append(pad2(pl.gidx, np.int32(OOB_ROW), maxc))
         cp.append(pad1(pl.cpos, 0, maxc))
         cc.append(pad1(pl.ccol, nbc, maxc))
-        # pad pairs point at the last chunk, which is always a pad chunk
+        # pad pairs point at the last chunk (always a pad chunk) and
+        # scatter out of bounds
         pa.append(pad1(pl.pa, maxc - 1, maxg))
-        ptb.append(pad1(pl.ptb, 0, maxg))
         pgb.append(pad1(pl.pgb, npool, maxg))
-    return {
+        dst.append(pad2(pl.dst, np.int32(OOB_ROW), maxg))
+        if for_lu:
+            dstu.append(pad2(pl.dst_u, np.int32(OOB_ROW), maxg))
+    t = {
         "pk_gidx": np.stack(g),
-        "pk_tbr": np.stack(tbr),
-        "pk_rloc": np.stack(rl),
         "pk_cpos": np.stack(cp),
         "pk_ccol": np.stack(cc),
         "pk_pa": np.stack(pa),
-        "pk_ptb": np.stack(ptb),
         "pk_pgb": np.stack(pgb),
+        "pk_dst": np.stack(dst),
     }
+    if for_lu:
+        t["pk_dst_u"] = np.stack(dstu)
+    return t
 
 
 def _scan_tables(g):
@@ -350,12 +351,13 @@ def build_factorize_fn(
 
     from pastix_tpu.numeric.grouping import group_plan, _stack_levels
 
+    is_lu = kind == Factorization.LU
     plan = []
     for tag, item in group_plan(levels):
         if tag == "unroll":
             t = _unroll_tables(levels[item], use_pallas)
             if packed:
-                t.update(_packed_unroll(packed_plan.levels[item]))
+                t.update(_packed_unroll(packed_plan.levels[item], is_lu))
         else:
             t = _scan_tables(
                 _stack_levels([levels[i] for i in item], layout.npool, layout.nbc)
@@ -364,7 +366,7 @@ def build_factorize_fn(
                 t.update(
                     _packed_scan(
                         [packed_plan.levels[i] for i in item],
-                        layout.nbc, layout.npool,
+                        layout.nbc, layout.npool, is_lu,
                     )
                 )
         if packed:
@@ -376,18 +378,11 @@ def build_factorize_fn(
     nbc, T = layout.nbc, layout.T
     npool = layout.npool
     if packed:
-        tbcat_dev = jax.device_put(np.asarray(packed_plan.tbcat))
-        tbcat_u_dev = (
-            jax.device_put(np.asarray(packed_plan.tbcat_u))
-            if packed_plan.tbcat_u is not None
-            else None
-        )
 
-        def packed_scatter(p2, W, t, pa, ptb, tbcat):
+        def packed_scatter(p2, W, dst):
             # row-granular extend-add: each W row is a full (T,) lane row of
-            # one target tile (element scatter measured ~8x slower on TPU)
-            tb = tbcat[t["pk_tbr"][pa] + ptb[:, None]]  # (ng, T)
-            dst = tb * T + t["pk_rloc"][pa]  # OOB rows (>= npool*T) drop
+            # one target tile (element scatter measured ~8x slower on TPU);
+            # dst is a host-precomputed (ng, T) table, OOB rows drop
             return p2.at[dst].add(-W)
 
         def packed_gemm(a, b):
@@ -549,7 +544,7 @@ def build_factorize_fn(
                 )
             return pool
 
-        def llt_level_packed(pool, t, tbcat):
+        def llt_level_packed(pool, t):
             has_chunks = t["pk_pa"].shape[-1] > 0 or t["pk_gidx"].shape[-2] > 1
             diag = K.potrf_batch(
                 jnp.tril(pool[t["diag"]]), hermitian=hermitian
@@ -584,19 +579,18 @@ def build_factorize_fn(
                 if hermitian and jnp.iscomplexobj(pool):
                     b = jnp.conj(b)
                 W = packed_gemm(O[pa], b).astype(pool.dtype)
-                p2 = packed_scatter(p2, W, t, pa, t["pk_ptb"], tbcat)
+                p2 = packed_scatter(p2, W, t["pk_dst"])
             return p2.reshape(pool.shape)
 
-        def fact_llt(pool, tables, *aux):
-            tbcat = aux[0] if packed else None
+        def fact_llt(pool, tables):
             for tag, t in plan_iter(tables):
                 if packed:
                     if tag == "unroll":
-                        pool = llt_level_packed(pool, t, tbcat)
+                        pool = llt_level_packed(pool, t)
                     else:
 
                         def body(pool, x):
-                            return llt_level_packed(pool, x, tbcat), None
+                            return llt_level_packed(pool, x), None
 
                         pool, _ = lax.scan(body, pool, t)
                 elif tag == "unroll":
@@ -612,8 +606,6 @@ def build_factorize_fn(
             return pool
 
         jfn = jax.jit(fact_llt, donate_argnums=(0,) if donate else ())
-        if packed:
-            return lambda pool: jfn(pool, plan_tables, tbcat_dev)
         return lambda pool: jfn(pool, plan_tables)
 
     if kind in (Factorization.LDLT, Factorization.LDLH):
@@ -658,7 +650,7 @@ def build_factorize_fn(
                 )
             return pool, d_arr, npiv
 
-        def ldlt_level_packed(carry, t, tbcat):
+        def ldlt_level_packed(carry, t):
             pool, d_arr, npiv = carry
             has_chunks = t["pk_pa"].shape[-1] > 0 or t["pk_gidx"].shape[-2] > 1
             if has_chunks:
@@ -694,24 +686,23 @@ def build_factorize_fn(
                 if hermitian and jnp.iscomplexobj(pool):
                     b = jnp.conj(b)
                 W = packed_gemm(a, b).astype(pool.dtype)
-                p2 = packed_scatter(p2, W, t, pa, t["pk_ptb"], tbcat)
+                p2 = packed_scatter(p2, W, t["pk_dst"])
             return p2.reshape(pool.shape), d_arr, npiv
 
-        def fact_ldlt(pool, eps, tables, *aux):
-            tbcat = aux[0] if packed else None
+        def fact_ldlt(pool, eps, tables):
             d_arr = jnp.ones((nbc, T), pool.dtype)
             npiv = jnp.int32(0)
             for tag, t in plan_iter(tables):
                 if packed:
                     if tag == "unroll":
                         pool, d_arr, npiv = ldlt_level_packed(
-                            (pool, d_arr, npiv), dict(t, eps=eps), tbcat
+                            (pool, d_arr, npiv), dict(t, eps=eps)
                         )
                     else:
 
                         def body(carry, x):
                             return (
-                                ldlt_level_packed(carry, dict(x, eps=eps), tbcat),
+                                ldlt_level_packed(carry, dict(x, eps=eps)),
                                 None,
                             )
 
@@ -733,8 +724,6 @@ def build_factorize_fn(
             return pool, d_arr, npiv
 
         jfn = jax.jit(fact_ldlt, donate_argnums=(0,) if donate else ())
-        if packed:
-            return lambda pool, eps: jfn(pool, eps, plan_tables, tbcat_dev)
         return lambda pool, eps: jfn(pool, eps, plan_tables)
 
     if kind == Factorization.LU:
@@ -814,7 +803,7 @@ def build_factorize_fn(
             )
             return pool, pool_u, npiv
 
-        def lu_level_packed(carry, t, eps, tbcat, tbcat_u):
+        def lu_level_packed(carry, t, eps):
             pool, pool_u, npiv = carry
             has_chunks = t["pk_pa"].shape[-1] > 0 or t["pk_gidx"].shape[-2] > 1
             if has_chunks:
@@ -843,32 +832,31 @@ def build_factorize_fn(
             p2 = p2.at[t["pk_gidx"]].set(Ol)
             p2u = p2u.at[t["pk_gidx"]].set(Ou)
             if t["pk_pa"].shape[-1]:
-                pa, ptb = t["pk_pa"], t["pk_ptb"]
+                pa = t["pk_pa"]
                 Bl = p2.reshape(npool, T, T)[t["pk_pgb"]]
                 Bu = p2u.reshape(npool, T, T)[t["pk_pgb"]]
                 # L-side: A(r, J) -= L(r,:)U(:,J); rows landing in the
                 # combined diag tile also carry its upper (U) part, so
-                # tbcat keeps diagonal tile-pairs and tbcat_u drops them
+                # pk_dst keeps diagonal tile-pairs and pk_dst_u drops them
                 Wl = packed_gemm(Ol[pa], Bu).astype(pool.dtype)
-                p2 = packed_scatter(p2, Wl, t, pa, ptb, tbcat)
+                p2 = packed_scatter(p2, Wl, t["pk_dst"])
                 Wu = packed_gemm(Ou[pa], Bl).astype(pool.dtype)
-                p2u = packed_scatter(p2u, Wu, t, pa, ptb, tbcat_u)
+                p2u = packed_scatter(p2u, Wu, t["pk_dst_u"])
             return p2.reshape(pool.shape), p2u.reshape(pool.shape), npiv
 
-        def fact_lu(pool, pool_u, eps, tables, *aux):
-            tbcat, tbcat_u = aux if packed else (None, None)
+        def fact_lu(pool, pool_u, eps, tables):
             npiv = jnp.int32(0)
             for tag, t in plan_iter(tables):
                 if packed:
                     if tag == "unroll":
                         pool, pool_u, npiv = lu_level_packed(
-                            (pool, pool_u, npiv), t, eps, tbcat, tbcat_u
+                            (pool, pool_u, npiv), t, eps
                         )
                     else:
 
                         def body(carry, x):
                             return (
-                                lu_level_packed(carry, x, eps, tbcat, tbcat_u),
+                                lu_level_packed(carry, x, eps),
                                 None,
                             )
 
@@ -890,10 +878,6 @@ def build_factorize_fn(
             return pool, pool_u, npiv
 
         jfn = jax.jit(fact_lu, donate_argnums=(0, 1) if donate else ())
-        if packed:
-            return lambda pool, pool_u, eps: jfn(
-                pool, pool_u, eps, plan_tables, tbcat_dev, tbcat_u_dev
-            )
         return lambda pool, pool_u, eps: jfn(pool, pool_u, eps, plan_tables)
 
     raise ValueError(f"unsupported factorization: {kind}")

@@ -822,8 +822,6 @@ class Pastix:
             and self.factors.dinv is not None
             and not getattr(self.factors, "_offloaded", False)
             and do_refine
-            # device GMRES carries one Krylov basis: single RHS only
-            and (cfg.refinement != RefinementMethod.GMRES or nrhs == 1)
         )
         use_sharded_ref = (
             getattr(self, "_sharded_refine_fn", None) is not None

@@ -150,3 +150,49 @@ def test_device_gmres_ilu_preconditioner():
     assert s._devref_fn is not None
     x = s.solve(b)
     assert np.abs(x - 1).max() < 1e-7
+
+
+def test_gmres_multi_rhs_block():
+    """Device GMRES now refines the whole RHS block in lockstep
+    (reference raff.c refines the full block; VERDICT r1 item 8)."""
+    A = poisson_3d(8)
+    As = A.to_scipy()
+    rng = np.random.default_rng(7)
+    B = As @ rng.standard_normal((A.n, 4))
+    s = Pastix(
+        A,
+        PastixConfig(
+            tile_size=16,
+            refinement=RefinementMethod.GMRES,
+            refinement_eps=1e-7,
+        ),
+    )
+    X = s.solve(B)
+    assert s._devref_fn is not None
+    res = np.linalg.norm(B - As @ X) / np.linalg.norm(B)
+    assert res < 1e-7
+
+
+def test_multi_rhs_refined_cost_ratio():
+    """nrhs=8 refined solve must cost <= 2x nrhs=1 (block refinement, not
+    per-column host loops)."""
+    import time
+
+    A = poisson_3d(8)
+    As = A.to_scipy()
+    rng = np.random.default_rng(11)
+    b1 = As @ rng.standard_normal((A.n, 1))
+    B8 = As @ rng.standard_normal((A.n, 8))
+    s = Pastix(A, PastixConfig(tile_size=16, refinement_eps=1e-8))
+    s.factorize()
+    # warm both compiled shapes, then time the steady state
+    s.solve(b1), s.solve(B8)
+    t1 = min(
+        (lambda t0=time.perf_counter(): (s.solve(b1), time.perf_counter() - t0)[1])()
+        for _ in range(3)
+    )
+    t8 = min(
+        (lambda t0=time.perf_counter(): (s.solve(B8), time.perf_counter() - t0)[1])()
+        for _ in range(3)
+    )
+    assert t8 <= 2.0 * t1 + 0.05, (t1, t8)
