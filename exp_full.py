@@ -45,7 +45,7 @@ def main():
     from pastix_tpu.numeric.factorize import coefinit
 
     A = poisson_3d(nx)
-    solver = Pastix(A, PastixConfig(tile_size=128))
+    solver = Pastix(A, PastixConfig(tile_size=128, packed_update=True))
     solver.analyze()
     lay = solver.layout
     plan = solver._packed_plan
@@ -282,7 +282,56 @@ def main():
             pool = pool.at[t["diag"]].set(diag)
         return pool
 
+    # --- pallas fused chol+inv for the diag chain ------------------------
+    from pastix_tpu.numeric.pallas_kernels import chol_inv_pallas
+
+    def pow2(x):
+        p = 1
+        while p < x:
+            p *= 2
+        return p
+
+    pad_tabs = []
+    for lv in levels:
+        nd_ = lv.diag.size
+        npad = pow2(nd_)
+        dpad = np.full(npad, npool, np.int32)  # gather clamps, scatter drops
+        dpad[:nd_] = lv.diag
+        pad_tabs.append(jnp.asarray(dpad))
+
+    def grid_level_pallas(pool, t, dpad):
+        diag, dinv = chol_inv_pallas(jnp.tril(pool[dpad]))
+        pool = pool.at[dpad].set(diag)
+        if t["tp"].shape[0]:
+            panels = jnp.einsum(
+                "bij,bkj->bik", pool[t["tp"]], dinv[t["tcpos"]],
+                preferred_element_type=jnp.float32,
+                precision=lax.Precision.HIGH,
+            )
+            pool = pool.at[t["tp"]].set(panels)
+        if t["ga"].shape[0]:
+            W = jnp.einsum(
+                "bij,bkj->bik",
+                pool[t["ga"]].astype(upd), pool[t["gb"]].astype(upd),
+                preferred_element_type=jnp.float32,
+            )
+            pool = pool.at[t["gd"]].add(-W)
+        return pool
+
+    def grid_fact_pallas(pool):
+        for t, dpad in zip(gtabs, pad_tabs):
+            pool = grid_level_pallas(pool, t, dpad)
+        return pool
+
+    def pallas_diag_only(pool):
+        for t, dpad in zip(gtabs, pad_tabs):
+            diag, dinv = chol_inv_pallas(jnp.tril(pool[dpad]))
+            pool = pool.at[dpad].set(diag)
+        return pool
+
     timeit("grid", jax.jit(grid_fact))
+    timeit("grid+pallas-diag", jax.jit(grid_fact_pallas))
+    timeit("pallas-diag only", jax.jit(pallas_diag_only))
     timeit("packed", jax.jit(lambda p: packed_fact(p)))
     timeit("packed-pieces", jax.jit(packed_fact_pieces))
     timeit("packed-noscat", jax.jit(lambda p: packed_fact(p, noscat=True)))

@@ -134,12 +134,15 @@ class PastixConfig:
     # (pivots with |d| < threshold * ||A|| are clamped; count reported
     #  like IPARM_STATIC_PIVOTING)
 
-    packed_update: bool = True  # compute panel TRSM + trailing updates over
-    # packed scalar row supports (analyze/packed.py): the a-side of every
-    # update GEMM is packed to its scalar row support, cutting device flops
-    # and scatter traffic by the row-fill efficiency (~3x on 3D problems at
-    # T=128).  The tile grid remains the storage format.  Complete
-    # factorizations only; ILU(k) keeps the tile path.
+    packed_update: Optional[bool] = None  # compute panel TRSM + trailing
+    # updates over packed scalar row supports (analyze/packed.py): the
+    # a-side of every update GEMM is packed to its scalar row support,
+    # cutting device GEMM flops ~2.3x.  None = auto: ON for CPU backends
+    # (measured ~1.7x faster), OFF on TPU — the row-granular extend-add is
+    # index-rate-bound in XLA's TPU scatter (~65 ns/row; measured 2.6x
+    # SLOWER end to end, exp_full.py r2) and the TPU factorization is
+    # latency-bound on the per-level diagonal chain, not update flops.
+    # Complete factorizations only; ILU(k) keeps the tile path.
 
     dense_tail: bool = True  # factor the fully-dense trailing block-column
     # suffix (top separators) with ONE dense blocked Cholesky instead of a

@@ -196,3 +196,90 @@ def gemm_scatter_fused(
         ),
         interpret=interpret,
     )(*scalars, *operands)
+
+
+# ---------------------------------------------------------------------------
+# Fused batched Cholesky + triangular inverse (the DIAG latency fix)
+# ---------------------------------------------------------------------------
+#
+# exp_full.py (round 2, v5e): the factorization critical path is NOT the
+# update flops — it is the per-level DIAG chain.  XLA expands each level's
+# batched lax.linalg.cholesky + triangular_solve(eye) into multiple ~T-step
+# loops whose every step round-trips the whole batch through HBM: 35 levels
+# cost 126 ms of the 143 ms total (chol alone 68 ms).  This kernel keeps
+# one (T, T) tile resident in VMEM and runs the T-step left-looking
+# elimination AND unit-inverse build in a single pass of VPU ops — no HBM
+# traffic between steps, fp32-exact (no MXU passes involved).
+#
+# Reference task body: the DIAG factor of sopalin_smp
+# (src/sopalin/src/sopalin3d.c), batched per elimination level.
+
+
+def _chol_inv_kernel(m_ref, l_ref, x_ref):
+    T = m_ref.shape[-1]
+    dt = m_ref.dtype
+    ar = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)  # row ids
+    ac = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)  # col ids
+    M = m_ref[0]
+
+    def body(j, carry):
+        L, X = carry
+        # Lrow = row j of L, cols < j  (kept as a (1, T) lane vector)
+        Lrow = jnp.where((ar == j) & (ac < j), L, 0.0).sum(
+            axis=0, keepdims=True
+        )
+        # left-looking column j: col = M[:, j] - L[:, :j] @ Lrow
+        s = jnp.sum(L * Lrow, axis=1, keepdims=True)  # (T, 1)
+        col = (
+            jnp.where(ac == j, M, 0.0).sum(axis=1, keepdims=True) - s
+        )
+        pivsq = jnp.where(ar[:, :1] == j, col, 0.0).sum()
+        piv = jnp.sqrt(pivsq)
+        colm = jnp.where(ar[:, :1] > j, col / piv, 0.0)[:, 0]
+        Lcol = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (T,), 0) == j, piv, colm
+        )
+        L = jnp.where(ac == j, Lcol[:, None], L)
+        # inverse row j: X[j, :] = (e_j - Lrow @ X) / piv
+        s2 = jnp.sum(Lrow[0][:, None] * X, axis=0)  # (T,)
+        ej = (jax.lax.broadcasted_iota(jnp.int32, (T,), 0) == j).astype(dt)
+        Xrow = (ej - s2) / piv
+        X = jnp.where(ar == j, Xrow[None, :], X)
+        return L, X
+
+    zero = jnp.zeros((T, T), dt)
+    L, X = jax.lax.fori_loop(0, T, body, (zero, zero))
+    l_ref[0] = L
+    x_ref[0] = X
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def chol_inv_pallas(tiles: jax.Array, interpret=None):
+    """Batched fused lower Cholesky + L^{-1} of (B, T, T) fp32 tiles.
+
+    One grid program per tile; the whole elimination runs on VPU with the
+    tile resident in VMEM.  Real dtypes only (complex keeps the XLA path).
+    Returns (L, Linv), both lower-triangular.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T, _ = tiles.shape
+    spec = pl.BlockSpec((1, T, T), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    L, X = pl.pallas_call(
+        _chol_inv_kernel,
+        grid=(B,),
+        in_specs=[spec],
+        out_specs=(spec, spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(tiles.shape, tiles.dtype),
+            jax.ShapeDtypeStruct(tiles.shape, tiles.dtype),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * T * T * T // 3,
+            bytes_accessed=3 * B * T * T * tiles.dtype.itemsize,
+            transcendentals=B * T,
+        ),
+        interpret=interpret or _INTERPRET,
+    )(tiles)
+    return L, X

@@ -432,11 +432,15 @@ class Pastix:
 
             self._dense_tail = plan_dense_tail(self.layout)
         self._packed_plan = None
-        if (
-            cfg.packed_update
-            and not cfg.incomplete
-            and os.environ.get("PASTIX_PACKED", "1") != "0"
-        ):
+        packed_on = cfg.packed_update
+        if packed_on is None:  # auto: see config.packed_update note
+            import jax as _jx
+
+            packed_on = _jx.default_backend() != "tpu"
+        env_packed = os.environ.get("PASTIX_PACKED")
+        if env_packed is not None:
+            packed_on = env_packed != "0"
+        if packed_on and not cfg.incomplete:
             from pastix_tpu.analyze.packed import build_packed_plan
 
             self._packed_plan = build_packed_plan(
