@@ -364,12 +364,25 @@ class Pastix:
         if self.symbol_ is None:
             self.symbfact()
         t0 = time.perf_counter()
+        # streaming OOC (reference ooc.c: page DURING factorization under
+        # IPARM_OOC_LIMIT): level-segmented windows + host extend-add.
+        # Decided before the layout so the dense tail (whose gathered
+        # (m, m) block would blow the window budget) is skipped.
+        self._ooc_stream = (
+            cfg.ooc
+            and cfg.ooc_limit_mb > 0
+            and cfg.factorization == Factorization.LLT
+            and self._hermitian
+            and self._schur_first_bcol is None
+            and not cfg.incomplete
+        )
         use_tail = (
             cfg.dense_tail
             and cfg.factorization == Factorization.LLT
             and self._hermitian
             and self._schur_first_bcol is None
             and not cfg.incomplete
+            and not self._ooc_stream
         )
         self.layout = build_layout(
             self._pat_perm_ext,
@@ -381,6 +394,27 @@ class Pastix:
             densify_tail_frac=cfg.dense_tail_fill if use_tail else 0.0,
         )
         upd = np.dtype(cfg.update_dtype).type if cfg.update_dtype else None
+        self._ooc_plan = None
+        if self._ooc_stream:
+            dtype_bytes = np.dtype(cfg.compute_dtype).itemsize
+            pool_bytes = self.layout.npool * self.layout.T ** 2 * dtype_bytes
+            budget = cfg.ooc_limit_mb * 1024 * 1024
+            if pool_bytes > budget:
+                from pastix_tpu.numeric.ooc import plan_ooc
+
+                self._ooc_plan = plan_ooc(
+                    self.layout, budget, dtype_bytes=dtype_bytes
+                )
+                if cfg.verbosity >= Verbosity.YES:
+                    mf = self._ooc_plan.max_footprint_tiles()
+                    print(
+                        f"[pastix-tpu] ooc: {len(self._ooc_plan.segments)} "
+                        f"segments, max window {mf} tiles "
+                        f"({mf * self.layout.T**2 * dtype_bytes / 2**20:.0f} "
+                        f"MB) under {cfg.ooc_limit_mb} MB budget"
+                    )
+            else:
+                self._ooc_stream = False  # fits: stay resident
         # --- device mesh (IPARM-level distribution transparency) --------
         # mesh_shape routes factorize/solve/refine through the sharded
         # builders (parallel/sharded.py); the same config solves on one
@@ -420,11 +454,15 @@ class Pastix:
         # values; the tile pool is scattered together on device
         from pastix_tpu.numeric.factorize import build_coefinit_fn
 
-        self._coef_fn = build_coefinit_fn(
-            self.layout,
-            self._A_perm,
-            dtype=np.dtype(cfg.compute_dtype).type,
-            for_lu=cfg.factorization == Factorization.LU,
+        self._coef_fn = (
+            None
+            if self._ooc_plan is not None  # streamed pool assembles on host
+            else build_coefinit_fn(
+                self.layout,
+                self._A_perm,
+                dtype=np.dtype(cfg.compute_dtype).type,
+                for_lu=cfg.factorization == Factorization.LU,
+            )
         )
         self._dense_tail = None
         if use_tail:
@@ -453,7 +491,14 @@ class Pastix:
                 ),
                 for_lu=cfg.factorization == Factorization.LU,
             )
-        if self._mesh is not None:
+        if self._ooc_plan is not None:
+            # streaming OOC: per-segment programs are built lazily in
+            # numeric/ooc.py; the resident-pool builders are skipped
+            self._fact_fn = self._solve_fn = None
+            self._dinv_fn = self._solve_fn_inv = None
+            self._devref_fn = None
+            self._sharded_refine_fn = None
+        elif self._mesh is not None:
             from pastix_tpu.parallel import (
                 build_sharded_factorize_ldlt,
                 build_sharded_factorize_llt,
@@ -494,7 +539,7 @@ class Pastix:
                 self.layout, cfg.factorization, hermitian=self._hermitian,
                 dense_tail=self._dense_tail,
             )
-        if cfg.fast_solve and self._mesh is None:
+        if cfg.fast_solve and self._mesh is None and self._ooc_plan is None:
             from pastix_tpu.numeric.factorize import build_diag_inverse_fn
 
             self._dinv_fn = build_diag_inverse_fn(
@@ -527,6 +572,7 @@ class Pastix:
             cfg.device_refine
             and cfg.fast_solve
             and self._mesh is None
+            and self._ooc_plan is None
             and cfg.refinement != RefinementMethod.NONE
             and not np.issubdtype(np.dtype(cfg.compute_dtype), np.complexfloating)
         ):
@@ -598,6 +644,8 @@ class Pastix:
             self._build_extended_matrix_values_only()
         t0 = time.perf_counter()
         dtype = np.dtype(cfg.compute_dtype).type
+        if self._ooc_plan is not None:
+            return self._factorize_streamed(dtype, t0)
         self.factors = numeric_factorize(
             self.layout,
             self._A_perm,
@@ -657,6 +705,49 @@ class Pastix:
                 f"[pastix-tpu] numfact: {self.report.fact_time:.3f}s "
                 f"({self.report.fact_gflops:.2f} GFLOP/s useful, "
                 f"pivots clamped: {self.report.static_pivots})"
+            )
+        return self.factors
+
+    def _factorize_streamed(self, dtype, t0) -> Factors:
+        """Streaming OOC numeric phase: the host pool is the backing store;
+        device holds one segment window at a time (numeric/ooc.py)."""
+        cfg = self.config
+        from pastix_tpu.numeric.ooc import factorize_ooc
+
+        host_pool, _ = coefinit(self.layout, self._A_perm, dtype=dtype)
+        upd = np.dtype(cfg.update_dtype).type if cfg.update_dtype else None
+        factorize_ooc(
+            self.layout, self._ooc_plan, host_pool,
+            hermitian=self._hermitian, update_dtype=upd,
+            verbose=cfg.verbosity >= Verbosity.YES,
+        )
+        diag_of_col = self.layout.lookup(
+            np.arange(self.layout.nbc), np.arange(self.layout.nbc)
+        )
+        dvals = np.diagonal(host_pool[diag_of_col], axis1=-2, axis2=-1)
+        if not np.isfinite(dvals).all():
+            raise FloatingPointError(
+                "LL^T factorization broke down (NaN/Inf pivot): the matrix "
+                "is not positive definite. Use Factorization.LDLT (static "
+                "pivoting) or LU for indefinite/unsymmetric systems."
+            )
+        self.factors = Factors(
+            cfg.factorization, self.layout, host_pool, None, None, 0
+        )
+        self.factors._offloaded = True  # host-resident by construction
+        self.factors._streamed = True
+        self._a_coo_dev = None
+        self.report.fact_time = time.perf_counter() - t0
+        self._trace_phase("numfact", t0)
+        self.report.static_pivots = 0
+        self.report.fact_gflops = self.report.fact_flops / max(
+            self.report.fact_time, 1e-12
+        ) / 1e9
+        if cfg.verbosity >= Verbosity.NO:
+            print(
+                f"[pastix-tpu] numfact(ooc): {self.report.fact_time:.3f}s "
+                f"({self.report.fact_gflops:.2f} GFLOP/s useful, "
+                f"{len(self._ooc_plan.segments)} segments)"
             )
         return self.factors
 
@@ -746,6 +837,19 @@ class Pastix:
 
     def _raw_solve_ext(self, b_ext: np.ndarray) -> np.ndarray:
         """Factored solve in extended-permuted order (no refinement)."""
+        if getattr(self.factors, "_streamed", False):
+            from pastix_tpu.numeric.ooc import solve_ooc
+
+            bb = solve_mod.rhs_to_blocks(
+                self.layout, b_ext,
+                dtype=np.asarray(self.factors.pool).dtype,
+            )
+            xb = solve_ooc(
+                self.layout, self._ooc_plan, self.factors.pool, bb,
+                hermitian=self._hermitian,
+            )
+            out = solve_mod.blocks_to_rhs(self.layout, xb)
+            return out if np.asarray(b_ext).ndim > 1 else out[:, 0]
         if getattr(self.factors, "_offloaded", False):
             live = self._restore_factors()
             try:

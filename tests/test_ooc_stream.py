@@ -1,0 +1,66 @@
+"""Streaming out-of-core factorization: the device window stays under the
+configured HBM budget while the host pool is the backing store (reference
+src/sopalin/src/ooc.c pages DURING factorization under IPARM_OOC_LIMIT —
+SURVEY.md §2 row 15; VERDICT r1 item 6)."""
+
+import numpy as np
+import pytest
+
+import pastix_tpu
+from pastix_tpu import Pastix, PastixConfig
+from pastix_tpu.generators import poisson_3d
+
+
+def _solver(limit_mb):
+    A = poisson_3d(14)  # pool ~2 MB at T=16: several segments at 1 MB
+    return A, Pastix(
+        A,
+        PastixConfig(tile_size=16, ooc=True, ooc_limit_mb=limit_mb),
+    )
+
+
+def test_ooc_stream_segments_under_budget():
+    A, s = _solver(1)
+    s.analyze()
+    plan = s._ooc_plan
+    assert plan is not None and len(plan.segments) > 1
+    T = s.layout.T
+    budget_tiles = plan.budget_tiles
+    for seg in plan.segments:
+        # the greedy floor: a single level may exceed the budget alone,
+        # but any multi-level segment must fit
+        if len(seg.tables) > 1:
+            assert seg.footprint_tiles() <= budget_tiles
+    # the whole pool genuinely exceeds the budget (the point of the test)
+    assert s.layout.npool > budget_tiles
+
+
+def test_ooc_stream_factor_solve_matches_resident():
+    A, s = _solver(1)
+    b = A.to_scipy() @ np.ones(A.n)
+    x = s.solve(b)
+    assert s._ooc_plan is not None
+    assert getattr(s.factors, "_streamed", False)
+    # the factor pool lives on the host, not the device
+    assert isinstance(s.factors.pool, np.ndarray)
+    assert np.abs(x - 1).max() < 1e-8
+
+    x_ref = Pastix(A, PastixConfig(tile_size=16)).solve(b)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_ooc_stream_pattern_reuse():
+    A, s = _solver(1)
+    S = A.to_scipy()
+    b = S @ np.ones(A.n)
+    x = s.solve(b)
+    assert np.abs(x - 1).max() < 1e-8
+    s.factorize(values=A.values * 3.0)
+    x2 = s.solve(b)
+    assert np.abs(x2 - 1.0 / 3.0).max() < 1e-8
+
+
+def test_ooc_small_pool_stays_resident():
+    A, s = _solver(4096)  # budget far above the pool size
+    s.analyze()
+    assert s._ooc_plan is None  # fits: keep the resident fast path
