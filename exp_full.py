@@ -299,8 +299,12 @@ def main():
         dpad[:nd_] = lv.diag
         pad_tabs.append(jnp.asarray(dpad))
 
+    def _symf(tiles):
+        lo = jnp.tril(tiles)
+        return lo + jnp.swapaxes(jnp.tril(tiles, -1), -1, -2)
+
     def grid_level_pallas(pool, t, dpad):
-        diag, dinv = chol_inv_pallas(jnp.tril(pool[dpad]))
+        diag, dinv = chol_inv_pallas(_symf(pool[dpad]))
         pool = pool.at[dpad].set(diag)
         if t["tp"].shape[0]:
             panels = jnp.einsum(
@@ -325,7 +329,7 @@ def main():
 
     def pallas_diag_only(pool):
         for t, dpad in zip(gtabs, pad_tabs):
-            diag, dinv = chol_inv_pallas(jnp.tril(pool[dpad]))
+            diag, dinv = chol_inv_pallas(_symf(pool[dpad]))
             pool = pool.at[dpad].set(diag)
         return pool
 

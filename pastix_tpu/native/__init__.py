@@ -21,7 +21,7 @@ _LIB = None
 _TRIED = False
 
 _SRC_DIR = os.path.dirname(os.path.abspath(__file__))
-_SOURCES = ["ordering.cpp", "symbolic.cpp", "etree.cpp"]
+_SOURCES = ["ordering.cpp", "symbolic.cpp", "etree.cpp", "amd.cpp"]
 
 
 def _build(so_path: str) -> bool:
@@ -100,6 +100,8 @@ def get_lib():
     lib.pastix_postorder.argtypes = [ctypes.c_int64, p64, p64]
     lib.pastix_colcounts.restype = None
     lib.pastix_colcounts.argtypes = [ctypes.c_int64, p64, p64, p64, p64, p64]
+    lib.pastix_amd.restype = ctypes.c_int64
+    lib.pastix_amd.argtypes = [ctypes.c_int64, p64, p64, p64]
     if lib.pastix_native_abi() != 1:
         return None
     _LIB = lib
@@ -212,3 +214,24 @@ def native_colcounts(pattern, parent, post):
         _i64p(counts),
     )
     return counts
+
+
+def native_amd(pattern):
+    """C++ approximate minimum degree on a scipy symmetric pattern;
+    returns peritab (elimination order) or None if unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import scipy.sparse as sp
+
+    adj = sp.csr_matrix(pattern.astype(bool))
+    adj.setdiag(False)
+    adj.eliminate_zeros()
+    n = adj.shape[0]
+    indptr = np.ascontiguousarray(adj.indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(adj.indices, dtype=np.int64)
+    peritab = np.empty(max(n, 1), dtype=np.int64)
+    rc = lib.pastix_amd(n, _i64p(indptr), _i64p(indices), _i64p(peritab))
+    if rc != 0:
+        return None
+    return peritab[:n]

@@ -16,6 +16,9 @@
 #include <algorithm>
 #include <cstring>
 
+extern "C" int64_t pastix_amd(int64_t, const int64_t*, const int64_t*,
+                              int64_t*);
+
 namespace {
 
 using i64 = int64_t;
@@ -260,6 +263,34 @@ void nd_rec(NDContext& ctx, std::vector<i64>& verts, i64 depth) {
     else if (w.side[i] == 1) B.push_back(verts[i]);
     else S.push_back(verts[i]);
   }
+
+  // hybrid dispatch: a separator this wide means the (sub)graph does not
+  // bisect — expander-like irregular structure where level-set ND
+  // inflates fill superlinearly.  Order the whole subgraph with
+  // approximate minimum degree instead (amd.cpp), the reference's
+  // effective behavior via Scotch/METIS strategy selection.
+  if ((i64)S.size() > (i64)(0.12 * (double)m) && m > ctx.leaf_size) {
+    std::vector<i64> sp(m + 1, 0), si;
+    si.reserve(m * 8);
+    for (i64 i = 0; i < m; ++i) {
+      const i64 u = verts[i];
+      for (i64 e = ctx.g.indptr[u]; e < ctx.g.indptr[u + 1]; ++e) {
+        const i64 vl = w.local[ctx.g.indices[e]];
+        if (vl >= 0) si.push_back(vl);
+      }
+      sp[i + 1] = (i64)si.size();
+    }
+    for (i64 v : verts) w.local[v] = -1;
+    std::vector<i64> peri(m);
+    if (pastix_amd(m, sp.data(), si.data(), peri.data()) == 0) {
+      for (i64 i = 0; i < m; ++i) ctx.peritab.push_back(verts[peri[i]]);
+      ctx.bounds.push_back((i64)ctx.peritab.size());
+      return;
+    }
+    emit_leaf(ctx, verts);  // AMD failed (should not happen): RCM leaf
+    return;
+  }
+
   for (i64 v : verts) w.local[v] = -1;
   if (A.empty() || B.empty()) {
     emit_leaf(ctx, verts);

@@ -215,71 +215,87 @@ def gemm_scatter_fused(
 # (src/sopalin/src/sopalin3d.c), batched per elimination level.
 
 
-def _chol_inv_kernel(m_ref, l_ref, x_ref):
-    T = m_ref.shape[-1]
+def _chol_inv_kernel(m_ref, l_ref, x_ref, M, Lt):
+    """Right-looking Cholesky + inverse over a (G, T, T) tile block.
+
+    Input tiles must be FULL symmetric (not tril'd): symmetry lets every
+    column read become a sublane-dynamic ROW read (Mosaic refs only allow
+    dynamic indexing on the sublane axis), and the trailing update is an
+    outer product — no lane-dynamic access, no reductions beyond the pivot
+    pick, two full-array fused multiply-subs per step, all VMEM-resident.
+    The inverse accumulates X := E_j^{-1} X (rank-1 row updates), giving
+    X = L^{-1} after T steps.
+    """
+    G, T = m_ref.shape[0], m_ref.shape[1]
     dt = m_ref.dtype
-    ar = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)  # row ids
-    ac = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)  # col ids
-    M = m_ref[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (G, 1, T), 2)
 
-    def body(j, carry):
-        L, X = carry
-        # Lrow = row j of L, cols < j  (kept as a (1, T) lane vector)
-        Lrow = jnp.where((ar == j) & (ac < j), L, 0.0).sum(
-            axis=0, keepdims=True
-        )
-        # left-looking column j: col = M[:, j] - L[:, :j] @ Lrow
-        s = jnp.sum(L * Lrow, axis=1, keepdims=True)  # (T, 1)
-        col = (
-            jnp.where(ac == j, M, 0.0).sum(axis=1, keepdims=True) - s
-        )
-        pivsq = jnp.where(ar[:, :1] == j, col, 0.0).sum()
+    M[:] = m_ref[:]
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 2)
+    ).astype(dt)
+    x_ref[:] = jnp.broadcast_to(eye, (G, T, T))
+
+    def body(j, _):
+        row = M[:, pl.ds(j, 1), :]  # (G,1,T) == column j by symmetry
+        pivsq = jnp.sum(jnp.where(lane == j, row, 0.0), axis=2,
+                        keepdims=True)  # (G,1,1)
         piv = jnp.sqrt(pivsq)
-        colm = jnp.where(ar[:, :1] > j, col / piv, 0.0)[:, 0]
-        Lcol = jnp.where(
-            jax.lax.broadcasted_iota(jnp.int32, (T,), 0) == j, piv, colm
-        )
-        L = jnp.where(ac == j, Lcol[:, None], L)
-        # inverse row j: X[j, :] = (e_j - Lrow @ X) / piv
-        s2 = jnp.sum(Lrow[0][:, None] * X, axis=0)  # (T,)
-        ej = (jax.lax.broadcasted_iota(jnp.int32, (T,), 0) == j).astype(dt)
-        Xrow = (ej - s2) / piv
-        X = jnp.where(ar == j, Xrow[None, :], X)
-        return L, X
+        l = row / piv
+        lm = jnp.where(lane > j, l, 0.0)  # strictly-below part of col j
+        Lt[:, pl.ds(j, 1), :] = jnp.where(lane == j, piv, lm)
+        lmT = jnp.swapaxes(lm, 1, 2)  # (G,T,1) sublane mask i > j
+        M[:] = M[:] - lmT * lm  # trailing symmetric rank-1 update
+        Xrow = x_ref[:, pl.ds(j, 1), :]  # (G,1,T)
+        x_ref[:] = x_ref[:] - (lmT / piv) * Xrow
+        x_ref[:, pl.ds(j, 1), :] = Xrow / piv
+        return 0
 
-    zero = jnp.zeros((T, T), dt)
-    L, X = jax.lax.fori_loop(0, T, body, (zero, zero))
-    l_ref[0] = L
-    x_ref[0] = X
+    jax.lax.fori_loop(0, T, body, 0)
+    l_ref[:] = jnp.swapaxes(Lt[:], 1, 2)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def chol_inv_pallas(tiles: jax.Array, interpret=None):
+@functools.partial(jax.jit, static_argnames=("interpret", "block"))
+def chol_inv_pallas(tiles: jax.Array, interpret=None, block: int = 16):
     """Batched fused lower Cholesky + L^{-1} of (B, T, T) fp32 tiles.
 
-    One grid program per tile; the whole elimination runs on VPU with the
-    tile resident in VMEM.  Real dtypes only (complex keeps the XLA path).
-    Returns (L, Linv), both lower-triangular.
+    ``tiles`` must hold FULL symmetric tiles (use _sym_lower on the
+    lower-stored pool tiles).  Processes ``block`` tiles per grid program,
+    resident in VMEM for the whole T-step elimination — replacing XLA's
+    cholesky + triangular-solve expander loops whose every step round-trips
+    the batch through HBM (exp_prof.py: 88 ms of the 144 ms bench
+    factorization).  Real dtypes only.  Returns (L, Linv), lower-triangular.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B, T, _ = tiles.shape
-    spec = pl.BlockSpec((1, T, T), lambda i: (i, 0, 0),
+    G = max(1, min(block, B))
+    pad = (-B) % G
+    if pad:
+        eye = jnp.broadcast_to(jnp.eye(T, dtype=tiles.dtype), (pad, T, T))
+        tiles = jnp.concatenate([tiles, eye])
+    Bp = B + pad
+    spec = pl.BlockSpec((G, T, T), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     L, X = pl.pallas_call(
         _chol_inv_kernel,
-        grid=(B,),
+        grid=(Bp // G,),
         in_specs=[spec],
         out_specs=(spec, spec),
         out_shape=(
-            jax.ShapeDtypeStruct(tiles.shape, tiles.dtype),
-            jax.ShapeDtypeStruct(tiles.shape, tiles.dtype),
+            jax.ShapeDtypeStruct((Bp, T, T), tiles.dtype),
+            jax.ShapeDtypeStruct((Bp, T, T), tiles.dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((G, T, T), tiles.dtype),
+            pltpu.VMEM((G, T, T), tiles.dtype),
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * T * T * T // 3,
-            bytes_accessed=3 * B * T * T * tiles.dtype.itemsize,
-            transcendentals=B * T,
+            flops=2 * Bp * T * T * T // 3,
+            bytes_accessed=3 * Bp * T * T * tiles.dtype.itemsize,
+            transcendentals=Bp * T,
         ),
         interpret=interpret or _INTERPRET,
     )(tiles)
-    return L, X
+    return L[:B], X[:B]

@@ -90,7 +90,13 @@ def compute_ordering(
         return order
 
     if method == OrderingMethod.AMD:
-        peritab = minimum_degree(pattern)
+        # native approximate minimum degree (quotient graph, supervariables,
+        # element absorption — native/amd.cpp); Python MMD fallback
+        from pastix_tpu.native import native_amd
+
+        peritab = native_amd(pattern)
+        if peritab is None:
+            peritab = minimum_degree(pattern)
         permtab = np.empty(n, dtype=np.int64)
         permtab[peritab] = np.arange(n, dtype=np.int64)
         return Order(permtab, peritab, np.array([0, n], dtype=np.int64))

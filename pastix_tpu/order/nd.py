@@ -156,6 +156,21 @@ def nested_dissection(
         A = verts[maskA]
         B = verts[maskB]
         S = verts[maskS]
+        # hybrid dispatch (mirrors native/ordering.cpp): a separator this
+        # wide means the subgraph doesn't bisect — order it with minimum
+        # degree instead of recursing (expander-like irregular graphs)
+        if S.size > 0.12 * verts.size and verts.size > leaf_size:
+            from pastix_tpu.native import native_amd
+
+            pat_sub = sp.csc_matrix(sub + sp.eye(sub.shape[0], dtype=bool))
+            peri = native_amd(pat_sub)
+            if peri is None and verts.size <= 4000:
+                from pastix_tpu.order.mmd import minimum_degree
+
+                peri = minimum_degree(pat_sub)
+            if peri is not None:
+                emit(verts[peri])
+                return
         if A.size == 0 or B.size == 0:
             emit(_order_leaf(adj, verts))
             return
