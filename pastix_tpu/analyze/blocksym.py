@@ -74,21 +74,14 @@ def tile_symbolic_ilu(
         off, offl = uniq[1:], lev[1:]
         if off.size:
             np.maximum.at(sched, off, sched[J] + 1)
-            # all-pairs fill candidates: (I,K) gets lev(I,J)+lev(K,J)+1.
-            # rows are sorted, so tril pairs grouped by target column K are
-            # the contiguous runs kk == const — one slice per target, no
-            # per-column Python scan over the candidate set
-            ii, kk = np.tril_indices(off.size)
-            order = np.argsort(kk, kind="stable")
-            ii, kk = ii[order], kk[order]
-            lv_all = offl[ii] + offl[kk] + 1
-            rows_all = off[ii]
-            starts = np.searchsorted(kk, np.arange(off.size + 1))
+            # fill candidates: target column K = off[t] receives rows
+            # off[t:] at levels offl[t:] + offl[t] + 1 — the tril pairs
+            # grouped by target are exactly the SUFFIX slices of the sorted
+            # row list, so no all-pairs materialization is needed (linear
+            # memory in the pattern size instead of quadratic per column)
             for t in range(off.size):
-                lo_, hi_ = starts[t], starts[t + 1]
-                if lo_ < hi_:
-                    pend_r[off[t]].append(rows_all[lo_:hi_])
-                    pend_l[off[t]].append(lv_all[lo_:hi_])
+                pend_r[int(off[t])].append(off[t:])
+                pend_l[int(off[t])].append(offl[t:] + (offl[t] + 1))
     blk_row = np.concatenate(out_rows)
     blk_col = np.concatenate(out_cols)
     return blk_row, blk_col, sched, nbc

@@ -109,6 +109,70 @@ class SolverLayout:
         # NB: seen_cols may not cover every column — Schur mode leaves the
         # terminal block-columns unfactored by design
 
+    # --- serialization (reference IPARM_IO_STRATEGY covers order+symbol;
+    # the layout/schedule is our third analysis artifact — SURVEY.md §5
+    # checkpoint row asks for Order/Symbol/schedule) ---------------------
+
+    def save(self, path: str) -> None:
+        """Persist the full static plan (npz); analyze becomes a one-time
+        cost across runs on the same pattern."""
+        arrs = {
+            "n": np.asarray(self.n),
+            "T": np.asarray(self.T),
+            "nbc": np.asarray(self.nbc),
+            "npool": np.asarray(self.npool),
+            "keys": self.keys,
+            "blk_row": self.blk_row,
+            "blk_col": self.blk_col,
+            "level_of_col": self.level_of_col,
+            "scat_pool_flat": self.scat_pool_flat,
+            "scat_vals_order": self.scat_vals_order,
+            "diag_pad_flat": self.diag_pad_flat,
+            "nnz_l_tiles": np.asarray(self.nnz_l_tiles),
+            "nlev": np.asarray(len(self.levels)),
+            "has_u": np.asarray(self.scat_pool_flat_u is not None),
+        }
+        if self.scat_pool_flat_u is not None:
+            arrs["scat_pool_flat_u"] = self.scat_pool_flat_u
+            arrs["scat_vals_order_u"] = self.scat_vals_order_u
+        for i, lv in enumerate(self.levels):
+            for f in dataclasses.fields(LevelTables):
+                arrs[f"lv{i}_{f.name}"] = getattr(lv, f.name)
+        np.savez_compressed(path, **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "SolverLayout":
+        z = np.load(path if str(path).endswith(".npz") else path + ".npz")
+        nlev = int(z["nlev"])
+        levels = [
+            LevelTables(
+                **{
+                    f.name: z[f"lv{i}_{f.name}"]
+                    for f in dataclasses.fields(LevelTables)
+                }
+            )
+            for i in range(nlev)
+        ]
+        has_u = bool(z["has_u"])
+        lay = cls(
+            n=int(z["n"]),
+            T=int(z["T"]),
+            nbc=int(z["nbc"]),
+            npool=int(z["npool"]),
+            keys=z["keys"],
+            blk_row=z["blk_row"],
+            blk_col=z["blk_col"],
+            level_of_col=z["level_of_col"],
+            levels=levels,
+            scat_pool_flat=z["scat_pool_flat"],
+            scat_vals_order=z["scat_vals_order"],
+            scat_pool_flat_u=z["scat_pool_flat_u"] if has_u else None,
+            scat_vals_order_u=z["scat_vals_order_u"] if has_u else None,
+            diag_pad_flat=z["diag_pad_flat"],
+            nnz_l_tiles=int(z["nnz_l_tiles"]),
+        )
+        return lay
+
     def padded_flops(self, kind: str = "llt") -> float:
         """Device flops actually executed (uniform T x T tiles)."""
         T = float(self.T)

@@ -384,15 +384,26 @@ class Pastix:
             and not cfg.incomplete
             and not self._ooc_stream
         )
-        self.layout = build_layout(
-            self._pat_perm_ext,
-            self._tile_size,
-            for_lu=cfg.factorization == Factorization.LU,
-            schur_first_bcol=self._schur_first_bcol,
-            incomplete=cfg.incomplete,
-            level_of_fill=cfg.level_of_fill,
-            densify_tail_frac=cfg.dense_tail_fill if use_tail else 0.0,
-        )
+        layout_path = os.path.join(cfg.io_dir, "layoutname")
+        if cfg.io_strategy == IOStrategy.LOAD and os.path.exists(
+            layout_path + ".npz"
+        ):
+            # third analysis artifact (Order/Symbol/schedule — SURVEY §5):
+            # loading the layout skips the whole blend-analog phase
+            self.layout = SolverLayout.load(layout_path)
+            self.layout.check()
+        else:
+            self.layout = build_layout(
+                self._pat_perm_ext,
+                self._tile_size,
+                for_lu=cfg.factorization == Factorization.LU,
+                schur_first_bcol=self._schur_first_bcol,
+                incomplete=cfg.incomplete,
+                level_of_fill=cfg.level_of_fill,
+                densify_tail_frac=cfg.dense_tail_fill if use_tail else 0.0,
+            )
+            if cfg.io_strategy == IOStrategy.SAVE:
+                self.layout.save(layout_path)
         upd = np.dtype(cfg.update_dtype).type if cfg.update_dtype else None
         self._ooc_plan = None
         if self._ooc_stream:

@@ -179,3 +179,37 @@ def test_report_to_iparm_slots():
     assert dparm["DPARM_FACT_TIME"] > 0
     assert dparm["DPARM_RELATIVE_ERROR"] < 1e-9
     assert dparm["DPARM_FILL_IN"] >= 1.0
+
+
+def test_io_strategy_saves_layout_artifact(tmp_path):
+    """IOStrategy persists the schedule too (Order/Symbol/LAYOUT — the
+    SURVEY §5 checkpoint row; VERDICT r1 item 6): loading must skip the
+    analyze build and produce an identical plan."""
+    import os
+
+    from pastix_tpu.analyze.layout import SolverLayout
+    from pastix_tpu.config import IOStrategy
+
+    A = gen.poisson_3d(8)
+    b = A.to_scipy() @ np.ones(A.n)
+    cfg = PastixConfig(io_strategy=IOStrategy.SAVE, io_dir=str(tmp_path),
+                       tile_size=8)
+    s1 = Pastix(A, cfg)
+    x1 = s1.solve(b)
+    assert os.path.exists(os.path.join(str(tmp_path), "layoutname.npz"))
+
+    lay2 = SolverLayout.load(os.path.join(str(tmp_path), "layoutname"))
+    lay2.check()
+    assert lay2.npool == s1.layout.npool
+    np.testing.assert_array_equal(lay2.keys, s1.layout.keys)
+    assert len(lay2.levels) == len(s1.layout.levels)
+    np.testing.assert_array_equal(
+        lay2.levels[0].gemm_d, s1.layout.levels[0].gemm_d
+    )
+
+    cfg2 = PastixConfig(io_strategy=IOStrategy.LOAD, io_dir=str(tmp_path),
+                        tile_size=8)
+    s2 = Pastix(A, cfg2)
+    x2 = s2.solve(b)
+    assert np.abs(x2 - 1).max() < 1e-8
+    np.testing.assert_allclose(x2, x1, rtol=1e-6, atol=1e-9)
