@@ -8,9 +8,10 @@ contributions into a compact per-level buffer of *touched* tiles, and one
 ``psum`` per level accumulates them — the all-reduce rides ICI and is the
 exact algebraic equivalent of fan-in aggregation.
 
-Panel factorizations/TRSMs are replicated across ``tp`` for now (they are
-the critical path, a small fraction of flops); a 2D-sharded panel path for
-the huge top separators is the planned M6 follow-up (SURVEY.md §7).
+Per-level panel factorizations/TRSMs run replicated across ``tp`` (small
+fraction of flops); the dense terminal block — the top separators on the
+sequential critical path — is 2D-sharded row-slab-wise with per-step
+psum/all_gather (see :func:`_tail_factor_sharded`).
 """
 
 from __future__ import annotations
@@ -125,6 +126,83 @@ def _shard_plan(layout: SolverLayout, ndev: int, levels=None):
     return plan
 
 
+def _tail_factor_sharded(layout: SolverLayout, dense_tail, ndev: int,
+                         tp_axis: str, update_dtype=None):
+    """2D-sharded dense-tail Cholesky (call inside shard_map).
+
+    The few huge terminal panels are the sequential critical path; the
+    replicated tail capped multi-chip scaling (VERDICT r1 item 4; the
+    reference switches its top separators to 2D block task distribution
+    for the same reason — blend's splitpart/task granularity, SURVEY.md
+    §2 row 7).  Here each device owns a row slab of the (m, m) tail:
+    per tile-column step the owner's diagonal factor is psum-broadcast,
+    every device TRSMs its slab rows, one all_gather shares the panel
+    column, and the trailing update runs slab-local — per-device flops
+    scale ~1/ndev and the collectives ride ICI.
+    """
+    T = layout.T
+    tq = dense_tail.q
+    L = -(-tq // ndev)  # row tiles per device
+    tqp = L * ndev
+    t_p = np.asarray(dense_tail.p_idx)
+    t_qi = np.asarray(dense_tail.qi)
+    t_qj = np.asarray(dense_tail.qj)
+
+    def tail_factor(pool):
+        me = lax.axis_index(tp_axis)
+        dense = jnp.zeros((tqp, T, tq, T), pool.dtype)
+        dense = dense.at[t_qi, :, t_qj, :].set(pool[t_p])
+        slab = lax.dynamic_slice_in_dim(dense, me * L, L, axis=0)
+        gr = me * L + jnp.arange(L)  # global row-tile ids of the slab
+
+        def step(j, slab):
+            j = j.astype(jnp.int32)
+            own = (j >= me * L) & (j < (me + 1) * L)
+            jl = jnp.clip(j - me * L, 0, L - 1).astype(jnp.int32)
+            zero = jnp.int32(0)
+            d_own = lax.dynamic_slice(slab, (jl, zero, j, zero),
+                                      (1, T, 1, T))
+            diag = lax.psum(
+                jnp.where(own, d_own, jnp.zeros_like(d_own)), tp_axis
+            )[0, :, 0, :]
+            Lj = lax.linalg.cholesky(jnp.tril(diag), symmetrize_input=False)
+            Li = lax.linalg.triangular_solve(
+                Lj, jnp.eye(T, dtype=pool.dtype), left_side=True, lower=True
+            )
+            upd = jnp.where(own, Lj[None, :, None, :], d_own)
+            slab = lax.dynamic_update_slice(slab, upd, (jl, zero, j, zero))
+            col = lax.dynamic_slice(slab, (zero, zero, j, zero),
+                                    (L, T, 1, T))[:, :, 0, :]
+            inv = jnp.conj(Li) if jnp.iscomplexobj(Li) else Li
+            P = jnp.einsum(
+                "rit,kt->rik", col, inv,
+                preferred_element_type=pool.dtype,
+                precision=K.matmul_precision(),
+            )
+            P = jnp.where((gr > j)[:, None, None], P, 0.0)
+            keep = jnp.where((gr > j)[:, None, None], P, col)
+            slab = lax.dynamic_update_slice(
+                slab, keep[:, :, None, :], (zero, zero, j, zero)
+            )
+            Pfull = lax.all_gather(P, tp_axis, axis=0, tiled=True)[:tq]
+            if jnp.iscomplexobj(Pfull):
+                Pfull = jnp.conj(Pfull)
+            Pa = P.astype(update_dtype) if update_dtype else P
+            Pb = Pfull.astype(update_dtype) if update_dtype else Pfull
+            contrib = jnp.einsum(
+                "rik,cjk->ricj", Pa, Pb,
+                preferred_element_type=pool.dtype,
+                precision=K.matmul_precision(),
+            ).astype(pool.dtype)
+            return slab - contrib
+
+        slab = lax.fori_loop(0, tq, step, slab)
+        full = lax.all_gather(slab, tp_axis, axis=0, tiled=True)[:tq]
+        return pool.at[t_p].set(full[t_qi, :, t_qj, :])
+
+    return tail_factor
+
+
 def build_sharded_factorize_llt(
     layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp", dense_tail=None,
     update_dtype=None,
@@ -145,19 +223,9 @@ def build_sharded_factorize_llt(
     T = layout.T
 
     if dense_tail is not None:
-        t_p = np.asarray(dense_tail.p_idx)
-        t_qi = np.asarray(dense_tail.qi)
-        t_qj = np.asarray(dense_tail.qj)
-        tq = dense_tail.q
-
-        def tail_factor(pool):
-            dense = jnp.zeros((tq, T, tq, T), pool.dtype)
-            dense = dense.at[t_qi, :, t_qj, :].set(pool[t_p])
-            L = lax.linalg.cholesky(
-                dense.reshape(tq * T, tq * T), symmetrize_input=False
-            )
-            Lt = L.reshape(tq, T, tq, T)[t_qi, :, t_qj, :]
-            return pool.at[t_p].set(Lt)
+        tail_factor = _tail_factor_sharded(
+            layout, dense_tail, ndev, tp_axis, update_dtype=update_dtype
+        )
 
     def level(pool, t, me, ntouch):
         # XLA's blocked cholesky/triangular-solve expanders measured faster
