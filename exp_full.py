@@ -283,29 +283,29 @@ def main():
         return pool
 
     # --- pallas fused chol+inv for the diag chain ------------------------
-    from pastix_tpu.numeric.pallas_kernels import chol_inv_pallas
+    from pastix_tpu.numeric.pallas_kernels import (
+        chol_inv_pallas,
+        chol_inv_pool_pallas,
+    )
 
-    def pow2(x):
-        p = 1
-        while p < x:
-            p *= 2
-        return p
+    GBLK = 8
 
     pad_tabs = []
+    dpad_np = []
     for lv in levels:
         nd_ = lv.diag.size
-        npad = pow2(nd_)
-        dpad = np.full(npad, npool, np.int32)  # gather clamps, scatter drops
+        npad = -(-nd_ // GBLK) * GBLK
+        dpad = np.full(npad, npool, np.int32)  # sentinel: DMA skipped
         dpad[:nd_] = lv.diag
         pad_tabs.append(jnp.asarray(dpad))
+        dpad_np.append(dpad)
 
     def _symf(tiles):
         lo = jnp.tril(tiles)
         return lo + jnp.swapaxes(jnp.tril(tiles, -1), -1, -2)
 
     def grid_level_pallas(pool, t, dpad):
-        diag, dinv = chol_inv_pallas(_symf(pool[dpad]))
-        pool = pool.at[dpad].set(diag)
+        pool, dinv = chol_inv_pool_pallas(pool, dpad, block=GBLK)
         if t["tp"].shape[0]:
             panels = jnp.einsum(
                 "bij,bkj->bik", pool[t["tp"]], dinv[t["tcpos"]],
@@ -329,9 +329,14 @@ def main():
 
     def pallas_diag_only(pool):
         for t, dpad in zip(gtabs, pad_tabs):
-            diag, dinv = chol_inv_pallas(_symf(pool[dpad]))
-            pool = pool.at[dpad].set(diag)
+            pool, dinv = chol_inv_pool_pallas(pool, dpad, block=GBLK)
         return pool
+
+    # correctness: the two programs must produce the same factor
+    out_g = np.asarray(jax.jit(grid_fact)(pool0))
+    out_p = np.asarray(jax.jit(grid_fact_pallas)(pool0))
+    dd = np.nanmax(np.abs(out_g - out_p))
+    log(f"grid vs pallas-diag factor max |diff|: {dd:.3e}")
 
     timeit("grid", jax.jit(grid_fact))
     timeit("grid+pallas-diag", jax.jit(grid_fact_pallas))

@@ -299,3 +299,118 @@ def chol_inv_pallas(tiles: jax.Array, interpret=None, block: int = 16):
         interpret=interpret or _INTERPRET,
     )(tiles)
     return L[:B], X[:B]
+
+
+def _chol_inv_pool_kernel_factory(T, G, npool):
+    def kernel(dpad_ref, pool_in, pool_out, dinv_ref, M, Lt, sems):
+        del pool_in  # aliased to pool_out
+        i = pl.program_id(0)
+
+        # DMA the block's diagonal tiles from the pool in HBM
+        for g in range(G):
+            idx = jnp.minimum(dpad_ref[i * G + g], npool - 1)
+
+            @pl.when(dpad_ref[i * G + g] < npool)
+            def _(idx=idx, g=g):
+                cp = pltpu.make_async_copy(
+                    pool_out.at[idx], M.at[g], sems.at[g]
+                )
+                cp.start()
+                cp.wait()
+
+        # symmetrize the lower-stored tile (upper holds scatter garbage)
+        ar = jax.lax.broadcasted_iota(jnp.int32, (G, T, T), 1)
+        ac = jax.lax.broadcasted_iota(jnp.int32, (G, T, T), 2)
+        lo = jnp.where(ar >= ac, M[:], 0.0)
+        M[:] = lo + jnp.where(ar < ac, jnp.swapaxes(lo, 1, 2), 0.0)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (G, 1, T), 2)
+
+        def body(j, _):
+            row = M[:, pl.ds(j, 1), :]
+            pivsq = jnp.sum(jnp.where(lane == j, row, 0.0), axis=2,
+                            keepdims=True)
+            piv = jnp.sqrt(pivsq)
+            l = row / piv
+            lm = jnp.where(lane > j, l, 0.0)
+            Lt[:, pl.ds(j, 1), :] = jnp.where(lane == j, piv, lm)
+            lmT = jnp.swapaxes(lm, 1, 2)
+            M[:] = M[:] - lmT * lm
+            Xrow = dinv_ref[:, pl.ds(j, 1), :]
+            dinv_ref[:] = dinv_ref[:] - (lmT / piv) * Xrow
+            dinv_ref[:, pl.ds(j, 1), :] = Xrow / piv
+            return 0
+
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 1)
+            == jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 2)
+        ).astype(M.dtype)
+        dinv_ref[:] = jnp.broadcast_to(eye, (G, T, T))
+        jax.lax.fori_loop(0, T, body, 0)
+
+        # write L = Lt^T back into the pool in place (pads skipped)
+        M[:] = jnp.swapaxes(Lt[:], 1, 2)
+        for g in range(G):
+            idx = jnp.minimum(dpad_ref[i * G + g], npool - 1)
+
+            @pl.when(dpad_ref[i * G + g] < npool)
+            def _(idx=idx, g=g):
+                cp = pltpu.make_async_copy(
+                    M.at[g], pool_out.at[idx], sems.at[G + g]
+                )
+                cp.start()
+                cp.wait()
+
+    return kernel
+
+
+def chol_inv_pool_pallas(pool, diag_idx, interpret=None, block: int = 8):
+    """In-place batched Cholesky + inverse of the pool's diagonal tiles.
+
+    The pool is ALIASED through the kernel (input_output_aliases) so the
+    surrounding XLA program keeps its in-place buffer chain — gathering
+    the tiles XLA-side and scattering the factors back was measured to
+    forfeit the kernel's whole win to pool copies.  ``diag_idx`` (host
+    numpy, padded with >= npool sentinels to a multiple of ``block``)
+    selects the tiles; returns (pool', dinv) with dinv[k] = L_k^{-1}.
+    Symmetrization of the lower-stored tiles happens in-kernel.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    npool, T = pool.shape[0], pool.shape[1]
+    nd = diag_idx.shape[0]
+    G = max(1, min(block, nd))
+    assert nd % G == 0, "pad diag_idx to a multiple of block"
+    kernel = _chol_inv_pool_kernel_factory(T, G, npool)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nd // G,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((G, T, T), lambda i, s: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((G, T, T), pool.dtype),
+            pltpu.VMEM((G, T, T), pool.dtype),
+            pltpu.SemaphoreType.DMA((2 * G,)),
+        ],
+    )
+    pool2, dinv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct(pool.shape, pool.dtype),
+            jax.ShapeDtypeStruct((nd, T, T), pool.dtype),
+        ),
+        input_output_aliases={1: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nd * T * T * T // 3,
+            bytes_accessed=3 * nd * T * T * pool.dtype.itemsize,
+            transcendentals=nd * T,
+        ),
+        interpret=interpret or _INTERPRET,
+    )(jnp.asarray(diag_idx, jnp.int32), pool)
+    return pool2, dinv
