@@ -105,3 +105,49 @@ def test_full_factorization_pallas_path(rng):
     x = solv(fact(jnp.asarray(pool0)), bb)
     xs = blocks_to_rhs(layout, np.asarray(x))
     assert np.abs(xs - 1).max() < 1e-4
+
+
+def test_chol_inv_pallas_matches_lax():
+    from pastix_tpu.numeric.pallas_kernels import chol_inv_pallas
+
+    rng = np.random.default_rng(0)
+    B, T = 5, 128
+    A = rng.standard_normal((B, T, T)).astype(np.float32)
+    full = A @ np.swapaxes(A, -1, -2) / T + 3 * np.eye(T, dtype=np.float32)
+    L, X = chol_inv_pallas(jnp.asarray(full), interpret=True, block=2)
+    Lr = np.linalg.cholesky(full)
+    assert np.abs(np.asarray(L) - Lr).max() < 1e-5
+    assert np.abs(
+        np.einsum("bij,bjk->bik", np.asarray(L), np.asarray(X))
+        - np.eye(T, dtype=np.float32)
+    ).max() < 1e-5
+
+
+def test_chol_inv_pool_pallas_in_place():
+    from pastix_tpu.numeric.pallas_kernels import chol_inv_pool_pallas
+
+    rng = np.random.default_rng(1)
+    npool, T = 10, 128
+    pool = rng.standard_normal((npool, T, T)).astype(np.float32)
+    tiles = [2, 6, 9]
+    full = {}
+    for i in tiles:
+        A = rng.standard_normal((T, T)).astype(np.float32)
+        S = A @ A.T / T + 3 * np.eye(T, dtype=np.float32)
+        full[i] = S
+        # lower-stored with scatter garbage above the diagonal
+        pool[i] = np.tril(S) + np.triu(
+            rng.standard_normal((T, T)).astype(np.float32), 1
+        )
+    idx = np.asarray(tiles + [npool + 7], np.int32)  # one pad sentinel
+    p2, dinv = chol_inv_pool_pallas(
+        jnp.asarray(pool), idx, interpret=True, block=4
+    )
+    p2, dinv = np.asarray(p2), np.asarray(dinv)
+    for k, i in enumerate(tiles):
+        Lr = np.linalg.cholesky(full[i])
+        assert np.abs(p2[i] - Lr).max() < 1e-5
+        assert np.abs(p2[i] @ dinv[k] - np.eye(T)).max() < 1e-5
+    # untouched tiles bit-identical (in-place aliasing must not leak)
+    for i in [0, 1, 3, 4, 5, 7, 8]:
+        np.testing.assert_array_equal(p2[i], pool[i])
