@@ -167,6 +167,37 @@ class Factors:
     dinv_u: Optional[jax.Array] = None  # LU: inverse upper diag tiles
 
 
+import os as _os_mod
+
+# HBM guard (matches kernels._GEMM_CHUNK): gathering a whole level's panel
+# tiles for the TRSM matmul materializes (nt, T, T) temporaries — >5 GB on
+# the widest levels at 0.5-1M dof.  Levels wider than this run the TRSM as
+# a lax.scan over fixed chunks (pads: tp=npool -> gather clamps/scatter
+# drops; tcpos/tc=0 -> junk operands on dropped writes).  0 disables.
+_PANEL_CHUNK = int(_os_mod.environ.get("PASTIX_PANEL_CHUNK", "16384"))
+
+
+def _scan_chunks(carry, tables, fills, body, chunk=None):
+    """carry = body(carry, *tables) evaluated over bounded-size chunks."""
+    if chunk is None:
+        chunk = _PANEL_CHUNK
+    ng = tables[0].shape[0]
+    if not chunk or ng <= chunk:
+        return body(carry, *tables)
+    nc = -(-ng // chunk)
+    pad = nc * chunk - ng
+    xs = tuple(
+        K._pad_chunk(a, pad, f).reshape((nc, chunk) + a.shape[1:])
+        for a, f in zip(tables, fills)
+    )
+
+    def step(c, x):
+        return body(c, *x), None
+
+    carry, _ = lax.scan(step, carry, xs)
+    return carry
+
+
 def _unroll_tables(lv, use_pallas: bool = False):
     t = {
         "cols": np.asarray(lv.cols),
@@ -523,15 +554,20 @@ def build_factorize_fn(
                     )
                 # panel TRSM as a matmul with the level's inverted diagonals
                 # (the nt-batch triangular loop becomes an MXU gemm)
-                inv_p = dinv[t["tcpos"]]
-                if hermitian and jnp.iscomplexobj(pool):
-                    inv_p = jnp.conj(inv_p)
-                panels = jnp.einsum(
-                    "bij,bkj->bik", pool[t["tp"]], inv_p,
-                    preferred_element_type=pool.dtype,
-                    precision=K.matmul_precision(),
+                def trsm_body(pool, tp, tcpos):
+                    inv_p = dinv[tcpos]
+                    if hermitian and jnp.iscomplexobj(pool):
+                        inv_p = jnp.conj(inv_p)
+                    panels = jnp.einsum(
+                        "bij,bkj->bik", pool[tp], inv_p,
+                        preferred_element_type=pool.dtype,
+                        precision=K.matmul_precision(),
+                    )
+                    return pool.at[tp].set(panels)
+
+                pool = _scan_chunks(
+                    pool, (t["tp"], t["tcpos"]), (npool, 0), trsm_body
                 )
-                pool = pool.at[t["tp"]].set(panels)
             if "p_full" in t and not jnp.iscomplexobj(pool):
                 sga, sgb, sgd, first, last, _ = t["p_full"]
                 pool = gemm_scatter_fused(
@@ -627,15 +663,21 @@ def build_factorize_fn(
             npiv = npiv + jnp.where(valid, piv, 0).sum(dtype=jnp.int32)
             if t["tp"].size:
                 # panel TRSM as an MXU matmul: L(I,J) = A(I,J) L^{-H} D^{-1}
-                inv_p = dinv[t["tcpos"]]
-                if hermitian and jnp.iscomplexobj(pool):
-                    inv_p = jnp.conj(inv_p)
-                panels = jnp.einsum(
-                    "bij,bkj->bik", pool[t["tp"]], inv_p,
-                    preferred_element_type=pool.dtype,
-                    precision=K.matmul_precision(),
-                ) / d_arr[t["tc"]][:, None, :]
-                pool = pool.at[t["tp"]].set(panels)
+                def trsm_body(pool, tp, tcpos, tc):
+                    inv_p = dinv[tcpos]
+                    if hermitian and jnp.iscomplexobj(pool):
+                        inv_p = jnp.conj(inv_p)
+                    panels = jnp.einsum(
+                        "bij,bkj->bik", pool[tp], inv_p,
+                        preferred_element_type=pool.dtype,
+                        precision=K.matmul_precision(),
+                    ) / d_arr[jnp.minimum(tc, nbc - 1)][:, None, :]
+                    return pool.at[tp].set(panels)
+
+                pool = _scan_chunks(
+                    pool, (t["tp"], t["tcpos"], t["tc"]), (npool, 0, 0),
+                    trsm_body,
+                )
             if "p_full" in t and not jnp.iscomplexobj(pool):
                 sga, sgb, sgd, first, last, sgk = t["p_full"]
                 pool = gemm_scatter_fused(
@@ -731,19 +773,23 @@ def build_factorize_fn(
         def lu_trsm_inv(pool, pool_u, t, linv, uinv_t):
             # both panel TRSMs as MXU matmuls against the fused inverses:
             # L(I,J) = A(I,J) U^{-1} = A @ Z^T ; Ut(I,J) = A(J,I)^T L^{-T}
-            zi = uinv_t[t["tcpos"]]
-            xi = linv[t["tcpos"]]
-            lp = jnp.einsum(
-                "bij,bkj->bik", pool[t["tp"]], zi,
-                preferred_element_type=pool.dtype,
-                precision=K.matmul_precision(),
+            def trsm_body(carry, tp, tcpos):
+                pool, pool_u = carry
+                lp = jnp.einsum(
+                    "bij,bkj->bik", pool[tp], uinv_t[tcpos],
+                    preferred_element_type=pool.dtype,
+                    precision=K.matmul_precision(),
+                )
+                up = jnp.einsum(
+                    "bij,bkj->bik", pool_u[tp], linv[tcpos],
+                    preferred_element_type=pool.dtype,
+                    precision=K.matmul_precision(),
+                )
+                return pool.at[tp].set(lp), pool_u.at[tp].set(up)
+
+            return _scan_chunks(
+                (pool, pool_u), (t["tp"], t["tcpos"]), (npool, 0), trsm_body
             )
-            up = jnp.einsum(
-                "bij,bkj->bik", pool_u[t["tp"]], xi,
-                preferred_element_type=pool.dtype,
-                precision=K.matmul_precision(),
-            )
-            return pool.at[t["tp"]].set(lp), pool_u.at[t["tp"]].set(up)
 
         def lu_level_unroll(carry, t, eps):
             pool, pool_u, npiv = carry

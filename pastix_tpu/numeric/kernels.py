@@ -346,6 +346,23 @@ def trsm_lu_u(panels_t: jax.Array, diags: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+# HBM guard: gathering a whole level's GEMM operands materializes
+# (ng, T, T) temporaries; at 0.5-1M dof a single level can hold >100k
+# triples (>10 GB of gathers).  Levels larger than this chunk run as a
+# lax.scan over fixed-size chunks (padded with OOB indices: gather clamps,
+# scatter drops), bounding the transient footprint to ~chunk * T^2 * 12 B
+# while keeping the same math.  0 disables.
+_GEMM_CHUNK = int(_os.environ.get("PASTIX_GEMM_CHUNK", "16384"))
+
+
+def _pad_chunk(x: jax.Array, pad: int, fill) -> jax.Array:
+    if not pad:
+        return x
+    return jnp.concatenate(
+        [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]
+    )
+
+
 def gemm_scatter(
     pool: jax.Array,
     ga: jax.Array,
@@ -354,6 +371,7 @@ def gemm_scatter(
     scale_cols: jax.Array | None = None,
     update_dtype=None,
     hermitian: bool = False,
+    chunk: int | None = None,
 ) -> jax.Array:
     """pool[gd] -= pool[ga] @ op(pool[gb])^T, accumulated over duplicates.
 
@@ -362,6 +380,37 @@ def gemm_scatter(
     — the mixed-precision knob from BASELINE config 5).
     ``hermitian``: op = conj (LL^H / LDL^H trailing updates).
     """
+    ng = ga.shape[0]
+    if chunk is None:
+        chunk = _GEMM_CHUNK
+    if chunk and ng > chunk:
+        npool = pool.shape[0]
+        nc = -(-ng // chunk)
+        pad = nc * chunk - ng
+        xs = [
+            _pad_chunk(ga, pad, npool).reshape(nc, chunk),
+            _pad_chunk(gb, pad, npool).reshape(nc, chunk),
+            _pad_chunk(gd, pad, npool).reshape(nc, chunk),
+        ]
+        if scale_cols is not None:
+            xs.append(
+                _pad_chunk(scale_cols, pad, 0).reshape(
+                    nc, chunk, scale_cols.shape[1]
+                )
+            )
+
+        def body(p, x):
+            sc = x[3] if scale_cols is not None else None
+            return (
+                gemm_scatter(
+                    p, x[0], x[1], x[2], scale_cols=sc,
+                    update_dtype=update_dtype, hermitian=hermitian, chunk=0,
+                ),
+                None,
+            )
+
+        pool, _ = lax.scan(body, pool, tuple(xs))
+        return pool
     a = pool[ga]
     b = _conj(pool[gb], hermitian)
     if scale_cols is not None:
@@ -384,8 +433,33 @@ def gemm_scatter_ab(
     gb: jax.Array,
     gd: jax.Array,
     update_dtype=None,
+    chunk: int | None = None,
 ) -> jax.Array:
     """dst_pool[gd] -= a_pool[ga] @ b_pool[gb]^T (the LU cross-pool update)."""
+    ng = ga.shape[0]
+    if chunk is None:
+        chunk = _GEMM_CHUNK
+    if chunk and ng > chunk:
+        npool = dst_pool.shape[0]
+        nc = -(-ng // chunk)
+        pad = nc * chunk - ng
+        xs = (
+            _pad_chunk(ga, pad, npool).reshape(nc, chunk),
+            _pad_chunk(gb, pad, npool).reshape(nc, chunk),
+            _pad_chunk(gd, pad, npool).reshape(nc, chunk),
+        )
+
+        def body(p, x):
+            return (
+                gemm_scatter_ab(
+                    p, a_pool, b_pool, x[0], x[1], x[2],
+                    update_dtype=update_dtype, chunk=0,
+                ),
+                None,
+            )
+
+        dst_pool, _ = lax.scan(body, dst_pool, xs)
+        return dst_pool
     a = a_pool[ga]
     b = b_pool[gb]
     if update_dtype is not None:

@@ -479,7 +479,19 @@ class Pastix:
         if use_tail:
             from pastix_tpu.analyze.layout import plan_dense_tail
 
-            self._dense_tail = plan_dense_tail(self.layout)
+            # HBM guard: the dense tail transiently holds the (m, m) Schur
+            # block plus a same-sized trailing-update temp next to the tile
+            # pool; cap m so pool + ~3 m^2 floats fits the device budget
+            # (PASTIX_HBM_GB; the v5e has 16 GB — leave headroom for
+            # gathers).  Small problems never hit the cap.
+            dtype_bytes = np.dtype(cfg.compute_dtype).itemsize
+            pool_bytes = self.layout.npool * self.layout.T ** 2 * dtype_bytes
+            budget = float(os.environ.get("PASTIX_HBM_GB", "13")) * 2**30
+            free = max(budget - pool_bytes, (4 * self.layout.T) ** 2 * 3 * dtype_bytes)
+            m_cap = int(np.sqrt(free / (3 * dtype_bytes)))
+            self._dense_tail = plan_dense_tail(
+                self.layout, max_m=min(1 << 15, m_cap)
+            )
         self._packed_plan = None
         packed_on = cfg.packed_update
         if packed_on is None:  # auto: see config.packed_update note
