@@ -188,6 +188,14 @@ class PastixConfig:
     # --- distribution (replaces IPARM_THREAD_NBR / MPI world) ---
     mesh_shape: Optional[tuple] = None  # e.g. (8,) or (4, 2); None = 1 device
     mesh_axis_names: tuple = ("tp",)
+    dist_strategy: str = "level"  # multi-device schedule over the tp axis:
+    # "level"   — bulk-synchronous per-level psum fan-in (parallel/sharded.py;
+    #             all factorization kinds, dense-tail 2D sharding);
+    # "subtree" — proportional etree-subtree mapping (the reference's
+    #             distribPart/cand analog, parallel/subtree.py): each device
+    #             factors its own subtrees with ZERO collectives, then one
+    #             boundary psum and a bulk-synchronous shared top.  LLT with
+    #             real dtypes only; other kinds fall back to "level".
 
     # --- out-of-core analog (host-RAM panel offload) ---
     ooc: bool = False  # IPARM_OOC_LIMIT != 0

@@ -376,6 +376,14 @@ class Pastix:
             and self._schur_first_bcol is None
             and not cfg.incomplete
         )
+        use_subtree = (
+            cfg.mesh_shape is not None
+            and cfg.dist_strategy == "subtree"
+            and cfg.factorization == Factorization.LLT
+            and not np.issubdtype(
+                np.dtype(cfg.compute_dtype), np.complexfloating
+            )
+        )
         use_tail = (
             cfg.dense_tail
             and cfg.factorization == Factorization.LLT
@@ -383,6 +391,7 @@ class Pastix:
             and self._schur_first_bcol is None
             and not cfg.incomplete
             and not self._ooc_stream
+            and not use_subtree  # subtree's shared top phase covers the tail
         )
         layout_path = os.path.join(cfg.io_dir, "layoutname")
         if cfg.io_strategy == IOStrategy.LOAD and os.path.exists(
@@ -529,7 +538,15 @@ class Pastix:
                 build_sharded_solve,
             )
 
-            if cfg.factorization == Factorization.LLT:
+            if cfg.factorization == Factorization.LLT and use_subtree:
+                # proportional subtree mapping (reference distribPart/cand):
+                # device-local subtree phases need no collectives at all
+                from pastix_tpu.parallel import build_subtree_factorize_llt
+
+                self._fact_fn = build_subtree_factorize_llt(
+                    self.layout, self._mesh, tp_axis=self._tp_axis,
+                )
+            elif cfg.factorization == Factorization.LLT:
                 self._fact_fn = build_sharded_factorize_llt(
                     self.layout, self._mesh, tp_axis=self._tp_axis,
                     dense_tail=self._dense_tail, update_dtype=upd,

@@ -111,3 +111,21 @@ def test_mesh_too_many_devices_raises():
     A = poisson_3d(4)
     with pytest.raises(ValueError, match="devices"):
         Pastix(A, PastixConfig(tile_size=8, mesh_shape=(64,))).analyze()
+
+
+def test_mesh_subtree_strategy_end_to_end():
+    """dist_strategy="subtree" routes LLT through the proportional
+    subtree mapping (reference distribPart/cand) from the public API."""
+    A = poisson_3d(8)
+    S = A.to_scipy()
+    b = S @ np.ones(A.n)
+    solver = Pastix(
+        A,
+        PastixConfig(tile_size=8, mesh_shape=(8,), dist_strategy="subtree"),
+    )
+    x = solver.solve(b)
+    assert solver._mesh is not None
+    assert solver._dense_tail is None  # subtree covers the top columns
+    res = np.linalg.norm(S @ x - b) / np.linalg.norm(b)
+    assert res < 1e-9
+    assert np.abs(x - 1).max() < 1e-7
