@@ -89,32 +89,37 @@ def build_coefinit_fn(
     import jax as _jax
 
     T = layout.T
-    flat_len = layout.npool * T * T
+    nrow = layout.npool * T  # 2D (npool*T, T) view: row index stays within
+    # int32 even when npool*T*T overflows it (jnp silently downcasts int64
+    # index tables to int32 without x64 — a flat index over a >2^31-element
+    # pool wraps; hit at the 1M-dof flagship, pool 2.65e9 elements)
+    assert nrow < np.iinfo(np.int32).max, "tile pool too large for int32 rows"
     A = sp.coo_matrix(A_pattern)
     i, j = A.row.astype(np.int64), A.col.astype(np.int64)
-    OOB = flat_len
+    OOB = nrow
 
-    itype = np.int32 if flat_len < np.iinfo(np.int32).max else np.int64
-
-    def _flat(sel, rows, cols):
-        idx = np.full(i.size, OOB, dtype=np.int64)
+    def _rc(sel, rows, cols):
+        r = np.full(i.size, OOB, dtype=np.int64)
+        c = np.zeros(i.size, dtype=np.int64)
         p = layout.lookup(rows[sel] // T, cols[sel] // T)
-        idx[sel] = p * (T * T) + (rows[sel] % T) * T + (cols[sel] % T)
-        return idx.astype(itype)
+        r[sel] = p * T + rows[sel] % T
+        c[sel] = cols[sel] % T
+        return r.astype(np.int32), c.astype(np.int32)
 
     if for_lu:
         lo = (i // T) >= (j // T)  # tile on/below the block diagonal
-        idx_l = _flat(lo, i, j)
-        idx_u = _flat(~lo, j, i)  # Ut(I,J) = A(J,I)^T, stored transposed
+        idx_l = _rc(lo, i, j)
+        idx_u = _rc(~lo, j, i)  # Ut(I,J) = A(J,I)^T, stored transposed
     else:
         lo = i >= j  # lower triangle only (symmetric storage)
-        idx_l = _flat(lo, i, j)
+        idx_l = _rc(lo, i, j)
         idx_u = None
-    pad = np.asarray(layout.diag_pad_flat)
+    pad_f = np.asarray(layout.diag_pad_flat)
+    pad = ((pad_f // T).astype(np.int32), (pad_f % T).astype(np.int32))
     shape = layout.pool_shape
 
     def build_l(vals, idx, pad_idx):
-        pool = jnp.zeros((flat_len,), dtype)
+        pool = jnp.zeros((nrow, T), dtype)
         pool = pool.at[idx].add(vals.astype(dtype))
         pool = pool.at[pad_idx].set(jnp.ones((), dtype))
         return pool.reshape(shape)
@@ -128,7 +133,7 @@ def build_coefinit_fn(
 
     def build_lu(vals, idx_l, idx_u, pad_idx):
         pool = build_l(vals, idx_l, pad_idx)
-        pool_u = jnp.zeros((flat_len,), dtype)
+        pool_u = jnp.zeros((nrow, T), dtype)
         pool_u = pool_u.at[idx_u].add(vals.astype(dtype))
         return pool, pool_u.reshape(shape)
 
