@@ -141,6 +141,212 @@ void rcm_leaf(const Graph& g, const std::vector<i64>& verts, Workspace& w,
   for (i64 i = m - 1; i >= 0; --i) out.push_back(verts[order[i]]);
 }
 
+// ---------------------------------------------------------------------------
+// Multilevel bisection (heavy-edge matching -> coarse bisect -> projected
+// FM refinement).  The reference reaches the same quality through Scotch /
+// METIS multilevel ND (SURVEY.md section 7 M1); used here as the middle
+// tier when the level-set separator is wide (irregular graphs), so grid
+// graphs keep the tuned level-set separators untouched.
+// ---------------------------------------------------------------------------
+
+struct WGraph {  // weighted local CSR
+  std::vector<i64> indptr, indices, ew;  // edge weights
+  std::vector<i64> vw;                   // vertex weights
+  i64 n = 0;
+  i64 total_vw = 0;
+};
+
+// Greedy heavy-edge matching + contraction; cmap[v] = coarse id.
+WGraph coarsen(const WGraph& g, std::vector<i64>& cmap) {
+  const i64 n = g.n;
+  cmap.assign(n, -1);
+  i64 nc = 0;
+  for (i64 v = 0; v < n; ++v) {
+    if (cmap[v] >= 0) continue;
+    i64 best = -1, bw = -1;
+    for (i64 e = g.indptr[v]; e < g.indptr[v + 1]; ++e) {
+      const i64 u = g.indices[e];
+      if (u == v || cmap[u] >= 0) continue;
+      if (g.ew[e] > bw) { bw = g.ew[e]; best = u; }
+    }
+    cmap[v] = nc;
+    if (best >= 0) cmap[best] = nc;
+    ++nc;
+  }
+  WGraph c;
+  c.n = nc;
+  c.vw.assign(nc, 0);
+  for (i64 v = 0; v < n; ++v) c.vw[cmap[v]] += g.vw[v];
+  c.total_vw = g.total_vw;
+  // build coarse adjacency: bucket edges by coarse source, merge duplicates
+  std::vector<i64> deg(nc, 0);
+  for (i64 v = 0; v < n; ++v)
+    deg[cmap[v]] += g.indptr[v + 1] - g.indptr[v];
+  c.indptr.assign(nc + 1, 0);
+  for (i64 i = 0; i < nc; ++i) c.indptr[i + 1] = c.indptr[i] + deg[i];
+  std::vector<i64> tmp_i(c.indptr[nc]), tmp_w(c.indptr[nc]), fill(nc, 0);
+  for (i64 v = 0; v < n; ++v) {
+    const i64 cv = cmap[v];
+    for (i64 e = g.indptr[v]; e < g.indptr[v + 1]; ++e) {
+      const i64 cu = cmap[g.indices[e]];
+      if (cu == cv) continue;
+      const i64 p = c.indptr[cv] + fill[cv]++;
+      tmp_i[p] = cu;
+      tmp_w[p] = g.ew[e];
+    }
+  }
+  c.indices.reserve(c.indptr[nc]);
+  c.ew.reserve(c.indptr[nc]);
+  std::vector<i64> newptr(nc + 1, 0);
+  std::vector<std::pair<i64, i64>> row;
+  for (i64 i = 0; i < nc; ++i) {
+    row.clear();
+    for (i64 p = c.indptr[i]; p < c.indptr[i] + fill[i]; ++p)
+      row.emplace_back(tmp_i[p], tmp_w[p]);
+    std::sort(row.begin(), row.end());
+    for (size_t k = 0; k < row.size();) {
+      size_t j = k;
+      i64 wsum = 0;
+      while (j < row.size() && row[j].first == row[k].first)
+        wsum += row[j++].second;
+      c.indices.push_back(row[k].first);
+      c.ew.push_back(wsum);
+      k = j;
+    }
+    newptr[i + 1] = (i64)c.indices.size();
+  }
+  c.indptr = std::move(newptr);
+  return c;
+}
+
+// Direct bisection of a (small) weighted graph by BFS level sets from the
+// max-weight vertex; separator = min-edge-cut-ish level near the weighted
+// median.  side: 0=A, 1=B, 2=S.  Returns false if no valid split exists.
+bool bisect_coarse(const WGraph& g, double balance, std::vector<uint8_t>& side) {
+  const i64 n = g.n;
+  if (n < 3) return false;
+  std::vector<i64> level(n, -1), frontier, next;
+  i64 start = 0;
+  for (i64 v = 1; v < n; ++v) if (g.vw[v] > g.vw[start]) start = v;
+  // double sweep for a pseudo-peripheral start
+  for (int sweep = 0; sweep < 2; ++sweep) {
+    std::fill(level.begin(), level.end(), (i64)-1);
+    frontier.assign(1, start);
+    level[start] = 0;
+    i64 last = start;
+    while (!frontier.empty()) {
+      next.clear();
+      for (i64 v : frontier)
+        for (i64 e = g.indptr[v]; e < g.indptr[v + 1]; ++e) {
+          const i64 u = g.indices[e];
+          if (level[u] < 0) { level[u] = level[v] + 1; next.push_back(u); }
+        }
+      if (!next.empty()) last = next[0];
+      std::swap(frontier, next);
+    }
+    start = last;
+  }
+  i64 nlev = 0;
+  for (i64 v = 0; v < n; ++v) {
+    if (level[v] < 0) return false;  // disconnected: caller splits first
+    nlev = std::max(nlev, level[v]);
+  }
+  ++nlev;
+  if (nlev < 3) return false;
+  std::vector<i64> lw(nlev, 0);
+  for (i64 v = 0; v < n; ++v) lw[level[v]] += g.vw[v];
+  std::vector<i64> cum(nlev);
+  i64 acc = 0;
+  for (i64 l = 0; l < nlev; ++l) { acc += lw[l]; cum[l] = acc; }
+  const i64 W = g.total_vw;
+  i64 lo = 1, hi = nlev - 2;
+  while (lo < nlev - 2 && cum[lo] < (i64)(balance * (double)W)) ++lo;
+  while (hi > lo && cum[hi - 1] > (i64)((1.0 - balance) * (double)W)) --hi;
+  i64 s = lo;
+  for (i64 l = lo; l <= hi; ++l) if (lw[l] < lw[s]) s = l;
+  side.assign(n, 0);
+  for (i64 v = 0; v < n; ++v)
+    side[v] = level[v] < s ? 0 : (level[v] == s ? 2 : 1);
+  return true;
+}
+
+// Weighted FM separator refinement: move s in S to a side when the
+// weighted separator shrinks (pulling the other side's neighbors into S);
+// zero-cost moves allowed when they improve the weighted balance.
+void refine_side(const WGraph& g, double balance, std::vector<uint8_t>& side) {
+  const i64 n = g.n;
+  i64 wA = 0, wB = 0;
+  for (i64 v = 0; v < n; ++v) {
+    if (side[v] == 0) wA += g.vw[v];
+    else if (side[v] == 1) wB += g.vw[v];
+  }
+  const i64 max_side = (i64)((1.0 - balance) * (double)g.total_vw);
+  for (int pass = 0; pass < 10; ++pass) {
+    bool changed = false;
+    for (i64 v = 0; v < n; ++v) {
+      if (side[v] != 2) continue;
+      i64 pa = 0, pb = 0;  // weight pulled into S per direction
+      for (i64 e = g.indptr[v]; e < g.indptr[v + 1]; ++e) {
+        const i64 u = g.indices[e];
+        if (side[u] == 0) pa += g.vw[u];
+        else if (side[u] == 1) pb += g.vw[u];
+      }
+      const i64 dA = pb - g.vw[v];  // S-weight change moving v -> A
+      const i64 dB = pa - g.vw[v];
+      int dest;
+      if (dA < dB) dest = 0;
+      else if (dB < dA) dest = 1;
+      else dest = (wA <= wB) ? 0 : 1;
+      const i64 delta = dest == 0 ? dA : dB;
+      if (delta > 0) continue;
+      i64 nA = wA, nB = wB;
+      if (dest == 0) { nA += g.vw[v]; nB -= pb; }
+      else           { nB += g.vw[v]; nA -= pa; }
+      if (delta == 0) {
+        const i64 bal_now = wA > wB ? wA - wB : wB - wA;
+        const i64 bal_new = nA > nB ? nA - nB : nB - nA;
+        if (bal_new >= bal_now) continue;
+      }
+      if ((dest == 0 ? nA : nB) > max_side) continue;
+      side[v] = (uint8_t)dest;
+      const uint8_t other = dest == 0 ? 1 : 0;
+      for (i64 e = g.indptr[v]; e < g.indptr[v + 1]; ++e) {
+        const i64 u = g.indices[e];
+        if (side[u] == other) side[u] = 2;
+      }
+      wA = nA; wB = nB;
+      changed = true;
+    }
+    if (!changed) break;
+  }
+}
+
+// Full multilevel bisection of a weighted graph; fills side (0/1/2).
+bool ml_bisect(const WGraph& g, double balance, std::vector<uint8_t>& side,
+               i64 depth = 0) {
+  if (g.n <= 160 || depth >= 40) {
+    if (!bisect_coarse(g, balance, side)) return false;
+    refine_side(g, balance, side);
+    return true;
+  }
+  std::vector<i64> cmap;
+  WGraph c = coarsen(g, cmap);
+  if (c.n >= (i64)(0.95 * (double)g.n)) {
+    // matching stalled (star-like graph): bisect directly
+    if (!bisect_coarse(g, balance, side)) return false;
+    refine_side(g, balance, side);
+    return true;
+  }
+  std::vector<uint8_t> cside;
+  if (!ml_bisect(c, balance, cside, depth + 1)) return false;
+  side.resize(g.n);
+  for (i64 v = 0; v < g.n; ++v) side[v] = cside[cmap[v]];
+  // (projection keeps the separator valid: a fine A-B edge would imply a
+  // coarse A-B edge, which the coarse separator excludes)
+  refine_side(g, balance, side);
+  return true;
+}
+
 struct NDContext {
   Graph g;
   Workspace* w;
@@ -264,11 +470,51 @@ void nd_rec(NDContext& ctx, std::vector<i64>& verts, i64 depth) {
     else S.push_back(verts[i]);
   }
 
-  // hybrid dispatch: a separator this wide means the (sub)graph does not
-  // bisect — expander-like irregular structure where level-set ND
-  // inflates fill superlinearly.  Order the whole subgraph with
-  // approximate minimum degree instead (amd.cpp), the reference's
-  // effective behavior via Scotch/METIS strategy selection.
+  // middle tier: a wide level-set separator on an irregular graph — try
+  // multilevel bisection (heavy-edge coarsening + coarse bisect + FM
+  // refinement, SURVEY.md section 7 M1) before giving up on ND structure.
+  // Grid graphs never reach this (their level-set separators are thin).
+  if ((i64)S.size() > (i64)(0.12 * (double)m) && m > ctx.leaf_size) {
+    WGraph wg;
+    wg.n = m;
+    wg.total_vw = m;
+    wg.vw.assign(m, 1);
+    wg.indptr.assign(m + 1, 0);
+    wg.indices.reserve(m * 8);
+    for (i64 i = 0; i < m; ++i) {
+      const i64 u = verts[i];
+      for (i64 e = ctx.g.indptr[u]; e < ctx.g.indptr[u + 1]; ++e) {
+        const i64 vl = w.local[ctx.g.indices[e]];
+        if (vl >= 0 && vl != i) wg.indices.push_back(vl);
+      }
+      wg.indptr[i + 1] = (i64)wg.indices.size();
+    }
+    wg.ew.assign(wg.indices.size(), 1);
+    std::vector<uint8_t> mside;
+    if (ml_bisect(wg, ctx.balance, mside)) {
+      i64 ms = 0, ma = 0, mb = 0;
+      for (i64 i = 0; i < m; ++i) {
+        if (mside[i] == 2) ++ms;
+        else if (mside[i] == 0) ++ma;
+        else ++mb;
+      }
+      if (ms < (i64)S.size() && ma > 0 && mb > 0) {
+        for (i64 i = 0; i < m; ++i) w.side[i] = mside[i];
+        A.clear(); B.clear(); S.clear();
+        for (i64 i = 0; i < m; ++i) {
+          if (w.side[i] == 0) A.push_back(verts[i]);
+          else if (w.side[i] == 1) B.push_back(verts[i]);
+          else S.push_back(verts[i]);
+        }
+      }
+    }
+  }
+
+  // last tier: the (sub)graph does not bisect even multilevel —
+  // expander-like irregular structure where separator-based ND inflates
+  // fill superlinearly.  Order the whole subgraph with approximate
+  // minimum degree instead (amd.cpp), the reference's effective behavior
+  // via Scotch/METIS strategy selection.
   if ((i64)S.size() > (i64)(0.12 * (double)m) && m > ctx.leaf_size) {
     std::vector<i64> sp(m + 1, 0), si;
     si.reserve(m * 8);
