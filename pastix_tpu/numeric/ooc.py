@@ -20,8 +20,10 @@ programs, so the schedule is segment-granular:
     (nbc, T, R) right-hand side stays resident.
 
 Max problem size is bounded by host RAM instead of HBM, which is the
-reference's OOC contract.  v1 supports LL^T (the flagship path); other
-kinds keep the post-factorization offload in pastix.py.
+reference's OOC contract.  LL^T and LDL^T/LDL^H stream (the d pivots and
+the pivot counter ride along as small resident arrays); LU keeps the
+post-factorization offload in pastix.py (two pools double the window
+bookkeeping — the same greedy segmentation applies when needed).
 """
 
 from __future__ import annotations
@@ -145,6 +147,7 @@ def plan_ooc(
                 "ga": remap_win(lv.gemm_a),
                 "gb": remap_win(lv.gemm_b),
                 "gd": remap_tgt(lv.gemm_d),
+                "gk": np.asarray(lv.gemm_k, np.int32),
             })
         segments.append(
             OOCSegment(
@@ -202,10 +205,106 @@ def build_segment_fact_fn(layout: SolverLayout, seg: OOCSegment,
 
     jfn = jax.jit(seg_fact, donate_argnums=(0,))
     tabs_dev = jax.device_put(
-        [{k: v for k, v in t.items() if k not in ("tr", "tc", "cols")}
+        [{k: v for k, v in t.items() if k not in ("tr", "tc", "cols", "gk")}
          for t in seg.tables]
     )
     return lambda buf: jfn(buf, tabs_dev)
+
+
+def build_segment_fact_fn_ldlt(layout: SolverLayout, seg: OOCSegment,
+                               hermitian: bool = False, update_dtype=None):
+    """Jitted LDL^T/LDL^H program over one segment's buffer.
+
+    Carries the resident (nbc, T) pivot array and the static-pivot counter
+    across segments (they are tiny next to the windows); update GEMMs
+    scale the a-side by the source column's D, mirroring the resident
+    ldlt_level (factorize.py)."""
+    from pastix_tpu.numeric.factorize import _sym_lower
+
+    T, nbc = layout.T, layout.nbc
+
+    def seg_fact(buf, d_arr, npiv, eps, tabs):
+        for t in tabs:
+            L, d, dinv, piv = K.ldlt_inv_batch(
+                _sym_lower(buf[t["diag"]], hermitian), eps, hermitian
+            )
+            buf = buf.at[t["diag"]].set(L)
+            d_arr = d_arr.at[t["cols"]].set(d)
+            valid = t["cols"] < nbc
+            npiv = npiv + jnp.where(valid, piv, 0).sum(dtype=jnp.int32)
+            if t["tp"].shape[0]:
+                inv_p = dinv[t["tcpos"]]
+                if hermitian and jnp.iscomplexobj(buf):
+                    inv_p = jnp.conj(inv_p)
+                panels = jnp.einsum(
+                    "bij,bkj->bik", buf[t["tp"]], inv_p,
+                    preferred_element_type=buf.dtype,
+                    precision=K.matmul_precision(),
+                ) / d_arr[t["tc"]][:, None, :]
+                buf = buf.at[t["tp"]].set(panels)
+            if t["ga"].shape[0]:
+                a = buf[t["ga"]] * d_arr[t["gk"]][:, None, :]
+                b = buf[t["gb"]]
+                if hermitian and jnp.iscomplexobj(buf):
+                    b = jnp.conj(b)
+                if update_dtype is not None:
+                    a = a.astype(update_dtype)
+                    b = b.astype(update_dtype)
+                W = jnp.einsum(
+                    "bij,bkj->bik", a, b,
+                    preferred_element_type=buf.dtype,
+                    precision=K.matmul_precision(),
+                ).astype(buf.dtype)
+                buf = buf.at[t["gd"]].add(-W)
+        return buf, d_arr, npiv
+
+    jfn = jax.jit(seg_fact, donate_argnums=(0, 1, 2))
+    tabs_dev = jax.device_put(
+        [{k: v for k, v in t.items() if k not in ("tr",)}
+         for t in seg.tables]
+    )
+    # gk = source block column of each gemm triple (host-built per segment)
+    return lambda buf, d_arr, npiv, eps: jfn(buf, d_arr, npiv, eps, tabs_dev)
+
+
+def factorize_ooc_ldlt(
+    layout: SolverLayout,
+    plan: OOCPlan,
+    host_pool: np.ndarray,
+    eps,
+    hermitian: bool = False,
+    update_dtype=None,
+    verbose: bool = False,
+):
+    """Stream the LDL^T factorization; returns (host_pool, d, npiv)."""
+    T, nbc = layout.T, layout.nbc
+    d_arr = jnp.ones((nbc, T), host_pool.dtype)
+    npiv = jnp.zeros((), jnp.int32)
+    eps_dev = jnp.asarray(eps, host_pool.dtype)
+    for si, seg in enumerate(plan.segments):
+        fn = getattr(seg, "_fact_fn_ldlt", None)
+        if fn is None:
+            fn = build_segment_fact_fn_ldlt(
+                layout, seg, hermitian=hermitian, update_dtype=update_dtype
+            )
+            seg._fact_fn_ldlt = fn
+        buf0 = np.concatenate(
+            [
+                host_pool[seg.win],
+                np.zeros((seg.n_out + 1, T, T), host_pool.dtype),
+            ]
+        )
+        buf, d_arr, npiv = fn(jnp.asarray(buf0), d_arr, npiv, eps_dev)
+        buf = np.asarray(buf)
+        host_pool[seg.win] = buf[: seg.n_win]
+        if seg.n_out:
+            host_pool[seg.touched_out] += buf[seg.n_win: seg.n_win + seg.n_out]
+        if verbose:
+            print(
+                f"[pastix-tpu] ooc segment {si + 1}/{len(plan.segments)}: "
+                f"win={seg.n_win} out={seg.n_out} tiles"
+            )
+    return host_pool, np.asarray(d_arr), int(npiv)
 
 
 def factorize_ooc(
@@ -248,21 +347,23 @@ def factorize_ooc(
 
 
 def build_segment_solve_fns(layout: SolverLayout, seg: OOCSegment,
-                            hermitian: bool = True):
+                            hermitian: bool = True, unit: bool = False):
     """Jitted forward / backward partial sweeps over one segment window.
 
     fwd(win_tiles, y) and bwd(win_tiles, x) carry the full (nbc, T, R)
-    RHS; only the segment's levels are applied."""
+    RHS; only the segment's levels are applied.  ``unit``: unit-diagonal
+    sweeps (the LDL^T factor; the D scaling happens between the sweeps in
+    solve_ooc_ldlt)."""
     from pastix_tpu.solve import _fwd_level, _bwd_level
 
     def fwd(win, y, tabs):
         for t in tabs:
-            y = _fwd_level(win, y, t, unit=False)
+            y = _fwd_level(win, y, t, unit=unit)
         return y
 
     def bwd(win, x, tabs):
         for t in reversed(list(tabs)):
-            x = _bwd_level(win, win, x, t, lower_t=True, unit=False,
+            x = _bwd_level(win, win, x, t, lower_t=True, unit=unit,
                            conj=hermitian)
         return x
 
@@ -284,19 +385,30 @@ def solve_ooc(
     host_pool: np.ndarray,
     b_blocks: np.ndarray,
     hermitian: bool = True,
+    d: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Streamed LL^T solve: forward over segments, then backward."""
+    """Streamed solve: forward over segments, then backward.
+
+    With ``d`` (the LDL^T pivots, (nbc, T)): unit-diagonal sweeps with the
+    D scaling applied between them — the streamed twin of solve.py's
+    solve_ldlt."""
+    unit = d is not None
     y = jnp.asarray(b_blocks)
     fns = []
+    cache = "_solve_fns_unit" if unit else "_solve_fns"
     for seg in plan.segments:
-        f = getattr(seg, "_solve_fns", None)
+        f = getattr(seg, cache, None)
         if f is None:
-            f = build_segment_solve_fns(layout, seg, hermitian=hermitian)
-            seg._solve_fns = f
+            f = build_segment_solve_fns(
+                layout, seg, hermitian=hermitian, unit=unit
+            )
+            setattr(seg, cache, f)
         fns.append(f)
     for seg, (fwd, _) in zip(plan.segments, fns):
         win = jnp.asarray(host_pool[seg.win])
         y = fwd(win, y)
+    if unit:
+        y = y / jnp.asarray(d)[..., None]
     for seg, (_, bwd) in zip(reversed(plan.segments), reversed(fns)):
         win = jnp.asarray(host_pool[seg.win])
         y = bwd(win, y)

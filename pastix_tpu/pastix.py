@@ -371,8 +371,11 @@ class Pastix:
         self._ooc_stream = (
             cfg.ooc
             and cfg.ooc_limit_mb > 0
-            and cfg.factorization == Factorization.LLT
-            and self._hermitian
+            and (
+                (cfg.factorization == Factorization.LLT and self._hermitian)
+                or cfg.factorization
+                in (Factorization.LDLT, Factorization.LDLH)
+            )
             and self._schur_first_bcol is None
             and not cfg.incomplete
         )
@@ -752,34 +755,46 @@ class Pastix:
         """Streaming OOC numeric phase: the host pool is the backing store;
         device holds one segment window at a time (numeric/ooc.py)."""
         cfg = self.config
-        from pastix_tpu.numeric.ooc import factorize_ooc
+        from pastix_tpu.numeric.ooc import factorize_ooc, factorize_ooc_ldlt
 
         host_pool, _ = coefinit(self.layout, self._A_perm, dtype=dtype)
         upd = np.dtype(cfg.update_dtype).type if cfg.update_dtype else None
-        factorize_ooc(
-            self.layout, self._ooc_plan, host_pool,
-            hermitian=self._hermitian, update_dtype=upd,
-            verbose=cfg.verbosity >= Verbosity.YES,
-        )
-        diag_of_col = self.layout.lookup(
-            np.arange(self.layout.nbc), np.arange(self.layout.nbc)
-        )
-        dvals = np.diagonal(host_pool[diag_of_col], axis1=-2, axis2=-1)
-        if not np.isfinite(dvals).all():
-            raise FloatingPointError(
-                "LL^T factorization broke down (NaN/Inf pivot): the matrix "
-                "is not positive definite. Use Factorization.LDLT (static "
-                "pivoting) or LU for indefinite/unsymmetric systems."
+        npiv = 0
+        d = None
+        if cfg.factorization in (Factorization.LDLT, Factorization.LDLH):
+            anorm = float(abs(self._A_perm).max()) if self._A_perm.nnz else 1.0
+            host_pool, d, npiv = factorize_ooc_ldlt(
+                self.layout, self._ooc_plan, host_pool,
+                eps=cfg.static_pivoting_threshold * anorm,
+                hermitian=self._hermitian, update_dtype=upd,
+                verbose=cfg.verbosity >= Verbosity.YES,
             )
+        else:
+            factorize_ooc(
+                self.layout, self._ooc_plan, host_pool,
+                hermitian=self._hermitian, update_dtype=upd,
+                verbose=cfg.verbosity >= Verbosity.YES,
+            )
+            diag_of_col = self.layout.lookup(
+                np.arange(self.layout.nbc), np.arange(self.layout.nbc)
+            )
+            dvals = np.diagonal(host_pool[diag_of_col], axis1=-2, axis2=-1)
+            if not np.isfinite(dvals).all():
+                raise FloatingPointError(
+                    "LL^T factorization broke down (NaN/Inf pivot): the "
+                    "matrix is not positive definite. Use Factorization.LDLT "
+                    "(static pivoting) or LU for indefinite/unsymmetric "
+                    "systems."
+                )
         self.factors = Factors(
-            cfg.factorization, self.layout, host_pool, None, None, 0
+            cfg.factorization, self.layout, host_pool, None, d, npiv
         )
         self.factors._offloaded = True  # host-resident by construction
         self.factors._streamed = True
         self._a_coo_dev = None
         self.report.fact_time = time.perf_counter() - t0
         self._trace_phase("numfact", t0)
-        self.report.static_pivots = 0
+        self.report.static_pivots = npiv
         self.report.fact_gflops = self.report.fact_flops / max(
             self.report.fact_time, 1e-12
         ) / 1e9
@@ -887,6 +902,11 @@ class Pastix:
             xb = solve_ooc(
                 self.layout, self._ooc_plan, self.factors.pool, bb,
                 hermitian=self._hermitian,
+                d=(
+                    np.asarray(self.factors.d)
+                    if self.factors.d is not None
+                    else None
+                ),
             )
             out = solve_mod.blocks_to_rhs(self.layout, xb)
             return out if np.asarray(b_ext).ndim > 1 else out[:, 0]

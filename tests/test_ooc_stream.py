@@ -64,3 +64,30 @@ def test_ooc_small_pool_stays_resident():
     A, s = _solver(4096)  # budget far above the pool size
     s.analyze()
     assert s._ooc_plan is None  # fits: keep the resident fast path
+
+
+def test_ooc_stream_ldlt_matches_resident():
+    """LDL^T streams too: d pivots and the pivot counter ride along as
+    resident arrays (reference ooc.c is factorization-kind agnostic)."""
+    from pastix_tpu.config import Factorization
+
+    A = poisson_3d(14)
+    S = A.to_scipy()
+    b = S @ np.ones(A.n)
+    s = Pastix(
+        A,
+        PastixConfig(
+            tile_size=16, ooc=True, ooc_limit_mb=1,
+            factorization=Factorization.LDLT,
+        ),
+    )
+    x = s.solve(b)
+    assert s._ooc_plan is not None
+    assert getattr(s.factors, "_streamed", False)
+    assert s.factors.d is not None
+    assert np.abs(x - 1).max() < 1e-8
+
+    x_ref = Pastix(
+        A, PastixConfig(tile_size=16, factorization=Factorization.LDLT)
+    ).solve(b)
+    np.testing.assert_allclose(x, x_ref, rtol=1e-6, atol=1e-8)
