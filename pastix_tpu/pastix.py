@@ -998,11 +998,28 @@ class Pastix:
             and do_refine
         )
         if use_devref or use_sharded_ref:
-            x_ext, dev_iters = (
-                self._device_solve_refined(b_ext)
-                if use_devref
-                else self._sharded_solve_refined(b_ext)
-            )
+            try:
+                x_ext, dev_iters = (
+                    self._device_solve_refined(b_ext)
+                    if use_devref
+                    else self._sharded_solve_refined(b_ext)
+                )
+            except Exception as e:  # pragma: no cover - platform-specific
+                # the fused solve+refine program is the largest compile of
+                # the pipeline; on the experimental remote-TPU platform its
+                # compile can fail (helper OOM/crash) where the smaller
+                # split programs still go through — fall back rather than
+                # fail the solve (first seen at the 1M-dof flagship)
+                if cfg.verbosity >= Verbosity.NO:
+                    print(
+                        "[pastix-tpu] fused solve+refine compile failed "
+                        f"({str(e)[:120]}); falling back to split solve + "
+                        "host refinement"
+                    )
+                self._devref_fn = None
+                self._sharded_refine_fn = None
+                use_devref = use_sharded_ref = False
+        if use_devref or use_sharded_ref:
             # converged on device (to the fp32 floor or better)? check the
             # true fp64 residual; the host loop below finishes if needed
             r = b_ext - self._A_perm64 @ x_ext
