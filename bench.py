@@ -10,9 +10,13 @@ Prints ONE JSON line:
    "vs_baseline": <speedup vs scipy.sparse.linalg.splu on the host CPU>}
 
 Diagnostics go to stderr.  Env knobs:
-  PASTIX_BENCH_NX    grid size per side (default 48 -> n=110592)
+  PASTIX_BENCH_NX    grid size per side (default 100 -> n=1,000,000:
+                     BASELINE ladder rung 3 scale on one chip; measured
+                     r2: 2.40 s steady state = 1193 useful GFLOP/s)
   PASTIX_BENCH_T     tile size override
   PASTIX_BENCH_REPS  timed repetitions (default 3)
+  PASTIX_BENCH_SPLU_TIMEOUT  scipy baseline cap in s (default 300; on
+                     timeout vs_baseline is the floor timeout/t_fact)
 """
 
 import json
@@ -37,7 +41,7 @@ def main():
     if os.environ.get("PASTIX_BENCH_CHILD"):
         return bench()
 
-    tpu_timeout = int(os.environ.get("PASTIX_BENCH_TPU_TIMEOUT", "1800"))
+    tpu_timeout = int(os.environ.get("PASTIX_BENCH_TPU_TIMEOUT", "2700"))
     env = dict(os.environ, PASTIX_BENCH_CHILD="1")
     try:
         r = subprocess.run(
@@ -70,7 +74,7 @@ def main():
 
 
 def bench():
-    nx = int(os.environ.get("PASTIX_BENCH_NX", "48"))
+    nx = int(os.environ.get("PASTIX_BENCH_NX", "100"))
     reps = int(os.environ.get("PASTIX_BENCH_REPS", "3"))
 
     import jax
@@ -209,7 +213,7 @@ def bench():
     # speedup is the FLOOR timeout/t_fact (the true value is larger).
     import subprocess as _sp
 
-    splu_timeout = int(os.environ.get("PASTIX_BENCH_SPLU_TIMEOUT", "900"))
+    splu_timeout = int(os.environ.get("PASTIX_BENCH_SPLU_TIMEOUT", "300"))
     code = (
         "import time, numpy as np, scipy.sparse as sp\n"
         "from scipy.sparse.linalg import splu\n"
