@@ -178,3 +178,31 @@ def test_device_coefinit_matches_host():
         else:
             pool_d = fn(vals)
         np.testing.assert_array_equal(np.asarray(pool_d), pool_h)
+
+
+def test_gemm_scatter_chunked_matches_unchunked():
+    """The HBM-bounding chunk scan (PASTIX_GEMM_CHUNK) is exact: same
+    result as one unchunked batch, duplicates accumulated identically."""
+    import jax.numpy as jnp
+
+    from pastix_tpu.numeric import kernels as K
+
+    rng = np.random.default_rng(0)
+    npool, T, ng = 12, 8, 29
+    pool = jnp.asarray(rng.standard_normal((npool, T, T)).astype(np.float32))
+    # operands and targets must be disjoint tile sets, as in a real level
+    # (the layout causality invariant: a level's GEMM targets live in
+    # later columns than its operands) — chunks sequentially scatter, so
+    # an operand that is also a target would read partial updates
+    ga = jnp.asarray(rng.integers(0, 6, ng).astype(np.int32))
+    gb = jnp.asarray(rng.integers(0, 6, ng).astype(np.int32))
+    gd = jnp.asarray(rng.integers(6, npool, ng).astype(np.int32))
+    sc = jnp.asarray(rng.standard_normal((ng, T)).astype(np.float32))
+    ref = K.gemm_scatter(pool, ga, gb, gd, scale_cols=sc, chunk=0)
+    out = K.gemm_scatter(pool, ga, gb, gd, scale_cols=sc, chunk=7)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    ref2 = K.gemm_scatter_ab(pool, pool, pool, ga, gb, gd, chunk=0)
+    out2 = K.gemm_scatter_ab(pool, pool, pool, ga, gb, gd, chunk=4)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=1e-5, atol=1e-5)
