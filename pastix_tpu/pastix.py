@@ -702,12 +702,24 @@ class Pastix:
 
         jax.block_until_ready(self.factors.pool)
         if self._dinv_fn is not None:
-            if cfg.factorization == Factorization.LU:
-                self.factors.dinv, self.factors.dinv_u = self._dinv_fn(
-                    self.factors.pool, self.factors.pool_u
-                )
-            else:
-                self.factors.dinv = self._dinv_fn(self.factors.pool)
+            try:
+                if cfg.factorization == Factorization.LU:
+                    self.factors.dinv, self.factors.dinv_u = self._dinv_fn(
+                        self.factors.pool, self.factors.pool_u
+                    )
+                else:
+                    self.factors.dinv = self._dinv_fn(self.factors.pool)
+            except Exception as e:  # pragma: no cover - platform-specific
+                # remote-TPU compile-helper crash (see solve() fallback):
+                # drop the fast-solve inverse path, keep the classic sweeps
+                if cfg.verbosity >= Verbosity.NO:
+                    print(
+                        "[pastix-tpu] fast-solve inverse compile failed "
+                        f"({str(e)[:120]}); keeping classic solve sweeps"
+                    )
+                self._dinv_fn = None
+                self._solve_fn_inv = None
+                self._devref_fn = None
         if self._devref_fn is not None and not cfg.ooc:
             # device-resident COO of A for the fused solve+refine SpMV
             import jax.numpy as jnp
@@ -885,9 +897,19 @@ class Pastix:
 
     def _solve_dispatch(self, factors, b_ext):
         if self._solve_fn_inv is not None and factors.dinv is not None:
-            return solve_mod.solve_inv(
-                factors, b_ext, solve_fn=self._solve_fn_inv
-            )
+            try:
+                return solve_mod.solve_inv(
+                    factors, b_ext, solve_fn=self._solve_fn_inv
+                )
+            except Exception as e:  # pragma: no cover - platform-specific
+                # remote-TPU compile-helper crash: degrade to the classic
+                # triangular sweeps (see solve() fallback note)
+                if self.config.verbosity >= Verbosity.NO:
+                    print(
+                        "[pastix-tpu] fast-solve compile failed "
+                        f"({str(e)[:120]}); classic sweeps"
+                    )
+                self._solve_fn_inv = None
         return solve_mod.solve(factors, b_ext, solve_fn=self._solve_fn)
 
     def _raw_solve_ext(self, b_ext: np.ndarray) -> np.ndarray:
