@@ -118,7 +118,8 @@ def build_device_refine_fn(
       factor_args: LLT (pool, dinv); LDLT/LDLH (pool, dinv, d);
                    LU (pool, pool_u, dinv_l, dinv_u)
       arow/acol/avals: device COO of the full extended permuted A
-      b: (nbc, T, R) block RHS (GMRES requires R == 1).
+      b: (nbc, T, R) block RHS (all methods are block-capable; GMRES
+         runs one Arnoldi basis per column with per-column Givens).
 
     Real dtypes only (the complex path refines on the host).
     """

@@ -331,9 +331,10 @@ def build_factorize_fn(
     (separator chains) runs as lax.scan over stacked padded tables —
     program size stays bounded as tree depth grows.
 
-    ``use_pallas`` (default: auto, on when the backend is TPU) routes the
-    unrolled levels' trailing updates through the fused Pallas
-    gather-GEMM-scatter kernel; scan tails keep the XLA path.
+    ``use_pallas`` (default: opt-in via PASTIX_USE_PALLAS=1, TPU backend
+    with T % 128 == 0 only) routes the unrolled levels' trailing updates
+    through the fused Pallas gather-GEMM-scatter kernel; scan tails keep
+    the XLA path.
 
     ``packed_plan`` (analyze.packed.build_packed_plan): route the panel
     TRSM + trailing updates through packed row supports — device flops

@@ -387,15 +387,19 @@ class Pastix:
                 np.dtype(cfg.compute_dtype), np.complexfloating
             )
         )
-        use_tail = (
+        want_tail = (
             cfg.dense_tail
             and cfg.factorization == Factorization.LLT
             and self._hermitian
             and self._schur_first_bcol is None
             and not cfg.incomplete
-            and not self._ooc_stream
             and not use_subtree  # subtree's shared top phase covers the tail
         )
+        # streaming OOC windows can't hold the dense terminal block; but if
+        # the pool turns out to FIT the budget (checked below) we stay
+        # resident and rebuild with the tail — ooc=True with a sufficient
+        # budget must not silently lose the dense-tail optimization
+        use_tail = want_tail and not self._ooc_stream
         layout_path = os.path.join(cfg.io_dir, "layoutname")
         if cfg.io_strategy == IOStrategy.LOAD and os.path.exists(
             layout_path + ".npz"
@@ -438,6 +442,26 @@ class Pastix:
                     )
             else:
                 self._ooc_stream = False  # fits: stay resident
+                if want_tail and not use_tail:
+                    # resident after all: recover the dense-tail layout,
+                    # provided the densified pool still fits the budget
+                    tail_layout = build_layout(
+                        self._pat_perm_ext,
+                        self._tile_size,
+                        for_lu=cfg.factorization == Factorization.LU,
+                        schur_first_bcol=self._schur_first_bcol,
+                        incomplete=cfg.incomplete,
+                        level_of_fill=cfg.level_of_fill,
+                        densify_tail_frac=cfg.dense_tail_fill,
+                    )
+                    if (
+                        tail_layout.npool * tail_layout.T ** 2 * dtype_bytes
+                        <= budget
+                    ):
+                        self.layout = tail_layout
+                        use_tail = True
+                        if cfg.io_strategy == IOStrategy.SAVE:
+                            self.layout.save(layout_path)
         # --- device mesh (IPARM-level distribution transparency) --------
         # mesh_shape routes factorize/solve/refine through the sharded
         # builders (parallel/sharded.py); the same config solves on one

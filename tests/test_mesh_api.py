@@ -36,6 +36,23 @@ def test_mesh_llt_matches_single_device():
     np.testing.assert_allclose(xn, x1, rtol=1e-6, atol=1e-8)
 
 
+def test_mesh_single_rhs_pads_dp():
+    """nrhs=1 on a dp=2 mesh exercises build_sharded_solve's pad wrap
+    (R=1 is not a dp multiple): result must match the replicated path."""
+    A = poisson_3d(8)
+    S = A.to_scipy()
+    b = S @ np.ones(A.n)
+    solver = Pastix(
+        A,
+        PastixConfig(
+            tile_size=8, mesh_shape=(2, 4), mesh_axis_names=("dp", "tp")
+        ),
+    )
+    x = solver.solve(b)
+    assert x.shape == b.shape  # pad columns stripped again
+    assert np.abs(x - 1).max() < 1e-8
+
+
 def test_mesh_ldlt_end_to_end():
     A = poisson_3d(8)
     S = A.to_scipy()
