@@ -219,16 +219,16 @@ def _unroll_tables(lv, use_pallas: bool = False):
         "gnd": (np.flatnonzero(lv.gemm_nondiag).astype(np.int32)),
     }
     if use_pallas and lv.gemm_a.size:
-        from pastix_tpu.numeric.pallas_kernels import sort_triples
+        from pastix_tpu.numeric.pallas_kernels import build_pipeline_schedule
 
-        sga, sgb, sgd, first, last, sgk = sort_triples(
-            lv.gemm_a, lv.gemm_b, lv.gemm_d, lv.gemm_k
+        t["p_full"] = build_pipeline_schedule(
+            lv.gemm_a, lv.gemm_b, lv.gemm_d, gk=lv.gemm_k
         )
-        t["p_full"] = (sga, sgb, sgd, first, last, sgk)
         nd = lv.gemm_nondiag
         if nd.any():
-            s = sort_triples(lv.gemm_a[nd], lv.gemm_b[nd], lv.gemm_d[nd])
-            t["p_nd"] = s
+            t["p_nd"] = build_pipeline_schedule(
+                lv.gemm_a[nd], lv.gemm_b[nd], lv.gemm_d[nd]
+            )
     return t
 
 
@@ -368,7 +368,7 @@ def build_factorize_fn(
             and layout.T % 128 == 0
         )
     if use_pallas:
-        from pastix_tpu.numeric.pallas_kernels import gemm_scatter_fused
+        from pastix_tpu.numeric.pallas_kernels import gemm_scatter_pipelined
 
     # dense terminal block (analyze/layout.plan_dense_tail): supported for
     # LLT with hermitian/real semantics (lax.linalg.cholesky); other kinds
@@ -575,9 +575,8 @@ def build_factorize_fn(
                     pool, (t["tp"], t["tcpos"]), (npool, 0), trsm_body
                 )
             if "p_full" in t and not jnp.iscomplexobj(pool):
-                sga, sgb, sgd, first, last, _ = t["p_full"]
-                pool = gemm_scatter_fused(
-                    pool, sga, sgb, sgd, first, last, update_dtype=update_dtype
+                pool = gemm_scatter_pipelined(
+                    pool, t["p_full"], update_dtype=update_dtype
                 )
             elif t["ga"].size:
                 pool = K.gemm_scatter(
@@ -685,10 +684,8 @@ def build_factorize_fn(
                     trsm_body,
                 )
             if "p_full" in t and not jnp.iscomplexobj(pool):
-                sga, sgb, sgd, first, last, sgk = t["p_full"]
-                pool = gemm_scatter_fused(
-                    pool, sga, sgb, sgd, first, last,
-                    gk=sgk, d=d_arr, update_dtype=update_dtype,
+                pool = gemm_scatter_pipelined(
+                    pool, t["p_full"], d=d_arr, update_dtype=update_dtype
                 )
             elif t["ga"].size:
                 pool = K.gemm_scatter(
@@ -811,16 +808,14 @@ def build_factorize_fn(
                 pool, pool_u = lu_trsm_inv(pool, pool_u, t, linv, uinv_t)
             if "p_full" in t and not jnp.iscomplexobj(pool):
                 # A(I,K) -= L(I,J) @ U(J,K): fused kernel, b from the U pool
-                sga, sgb, sgd, first, last, _ = t["p_full"]
-                pool = gemm_scatter_fused(
-                    pool, sga, sgb, sgd, first, last,
-                    src_pool=pool_u, update_dtype=update_dtype,
+                pool = gemm_scatter_pipelined(
+                    pool, t["p_full"], src_pool=pool_u,
+                    update_dtype=update_dtype,
                 )
                 if "p_nd" in t:
-                    sga, sgb, sgd, first, last = t["p_nd"]
-                    pool_u = gemm_scatter_fused(
-                        pool_u, sga, sgb, sgd, first, last,
-                        src_pool=pool, update_dtype=update_dtype,
+                    pool_u = gemm_scatter_pipelined(
+                        pool_u, t["p_nd"], src_pool=pool,
+                        update_dtype=update_dtype,
                     )
             elif t["ga"].size:
                 # A(I,K) -= L(I,J) @ U(J,K) = Lp[ga] @ Ut[gb]^T

@@ -20,10 +20,16 @@ programs, so the schedule is segment-granular:
     (nbc, T, R) right-hand side stays resident.
 
 Max problem size is bounded by host RAM instead of HBM, which is the
-reference's OOC contract.  LL^T and LDL^T/LDL^H stream (the d pivots and
-the pivot counter ride along as small resident arrays); LU keeps the
-post-factorization offload in pastix.py (two pools double the window
-bookkeeping — the same greedy segmentation applies when needed).
+reference's OOC contract.  All factorization kinds stream: LL^T,
+LDL^T/LDL^H (the d pivots and the pivot counter ride along as small
+resident arrays) and LU (two windows — L and Ut — per segment, with
+separate export accumulators; reference ooc.c pages every kind).
+
+The budget covers the GEMM/TRSM transients too: plan_ooc reserves
+``transient_frac`` of the budget and the segment programs chunk their
+gathers to that reservation (lax.scan over fixed chunks, same scheme as
+kernels._GEMM_CHUNK), so one wide level cannot transiently exceed the
+limit the plan enforces.
 """
 
 from __future__ import annotations
@@ -57,9 +63,15 @@ class OOCPlan:
     layout: SolverLayout
     segments: list
     budget_tiles: int
+    gemm_chunk: int = 0  # 0 = unchunked; else max gather triples per chunk
+    two_pools: bool = False  # LU: window/export tiles count double
 
     def max_footprint_tiles(self) -> int:
-        return max(s.footprint_tiles() for s in self.segments)
+        """Peak device tiles incl. the chunked-GEMM transient (a, b, W
+        gathers + the TRSM panel transient share the reservation)."""
+        f = max(s.footprint_tiles() for s in self.segments)
+        npools = 2 if self.two_pools else 1
+        return f * npools + 4 * self.gemm_chunk
 
 
 def plan_ooc(
@@ -67,17 +79,29 @@ def plan_ooc(
     budget_bytes: int,
     dtype_bytes: int = 4,
     levels: Optional[list] = None,
+    transient_frac: float = 0.25,
+    two_pools: bool = False,
 ) -> OOCPlan:
     """Greedy segmentation: take consecutive levels while the window +
     export accumulator stays under the budget.  A single level that alone
     exceeds the budget still becomes its own segment (the floor of this
     scheme; the reference pages at cblk granularity and has the same
-    floor at its largest supernode)."""
+    floor at its largest supernode).
+
+    ``transient_frac`` of the budget is reserved for the segment programs'
+    GEMM/TRSM gather transients; the emitted ``gemm_chunk`` keeps them
+    inside the reservation.  ``two_pools`` (LU) counts every window and
+    export tile twice (L and Ut buffers)."""
     if levels is None:
         levels = layout.levels
     T = layout.T
     tile_bytes = T * T * dtype_bytes
-    budget_tiles = max(2, int(budget_bytes // tile_bytes))
+    total_tiles = max(2, int(budget_bytes // tile_bytes))
+    npools = 2 if two_pools else 1
+    budget_tiles = max(2, int(total_tiles * (1.0 - transient_frac)) // npools)
+    # transient per chunk: a + b + W gathers (3) and a little slack for
+    # the TRSM panel pair — 4 tiles per chunk element
+    gemm_chunk = max(16, (total_tiles - budget_tiles * npools) // 4)
 
     col_ptr = np.searchsorted(layout.blk_col, np.arange(layout.nbc + 1))
 
@@ -135,7 +159,7 @@ def plan_ooc(
 
         tables = []
         for lv in levels[i:jlast + 1]:
-            tables.append({
+            t = {
                 "cols": np.asarray(lv.cols, np.int32),
                 "diag": remap_win(lv.diag),
                 "tp": remap_win(lv.trsm_panel),
@@ -148,7 +172,15 @@ def plan_ooc(
                 "gb": remap_win(lv.gemm_b),
                 "gd": remap_tgt(lv.gemm_d),
                 "gk": np.asarray(lv.gemm_k, np.int32),
-            })
+            }
+            if two_pools:
+                # LU: the U-pool update targets (off-diagonal pairs only —
+                # diagonal targets live in the L window's combined tile)
+                nd = np.flatnonzero(np.asarray(lv.gemm_nondiag))
+                t["ga_nd"] = t["ga"][nd]
+                t["gb_nd"] = t["gb"][nd]
+                t["gd_nd"] = t["gd"][nd]
+            tables.append(t)
         segments.append(
             OOCSegment(
                 win=win, touched_out=out, tables=tables,
@@ -157,12 +189,37 @@ def plan_ooc(
         )
         i = jlast + 1
     return OOCPlan(layout=layout, segments=segments,
-                   budget_tiles=budget_tiles)
+                   budget_tiles=budget_tiles, gemm_chunk=gemm_chunk,
+                   two_pools=two_pools)
+
+
+def _chunked_trsm(buf, tp, inv_panels, tcpos, chunk, conj_inv=False):
+    """Panel TRSM-as-matmul over bounded chunks (transient 2*chunk tiles)."""
+    from pastix_tpu.numeric.factorize import _scan_chunks
+
+    nbuf = buf.shape[0]
+
+    def body(buf, tp_c, pos_c):
+        inv_p = inv_panels[pos_c]
+        if conj_inv and jnp.iscomplexobj(buf):
+            inv_p = jnp.conj(inv_p)
+        panels = jnp.einsum(
+            "bij,bkj->bik", buf[tp_c], inv_p,
+            preferred_element_type=buf.dtype,
+            precision=K.matmul_precision(),
+        )
+        return buf.at[tp_c].set(panels)
+
+    return _scan_chunks(buf, (tp, tcpos), (nbuf, 0), body, chunk=chunk)
 
 
 def build_segment_fact_fn(layout: SolverLayout, seg: OOCSegment,
-                          hermitian: bool = True, update_dtype=None):
-    """Jitted LL^T program over one segment's buffer (window + exports)."""
+                          hermitian: bool = True, update_dtype=None,
+                          chunk: int = 0):
+    """Jitted LL^T program over one segment's buffer (window + exports).
+
+    ``chunk`` bounds the GEMM/TRSM gather transients (plan_ooc reserves
+    transient_frac of the budget for them)."""
     T = layout.T
 
     def seg_fact(buf, tabs):
@@ -178,29 +235,16 @@ def build_segment_fact_fn(layout: SolverLayout, seg: OOCSegment,
                 dinv = lax.linalg.triangular_solve(
                     diag, eye, left_side=True, lower=True
                 )
-                inv_p = dinv[t["tcpos"]]
-                if hermitian and jnp.iscomplexobj(buf):
-                    inv_p = jnp.conj(inv_p)
-                panels = jnp.einsum(
-                    "bij,bkj->bik", buf[t["tp"]], inv_p,
-                    preferred_element_type=buf.dtype,
-                    precision=K.matmul_precision(),
+                buf = _chunked_trsm(
+                    buf, t["tp"], dinv, t["tcpos"], chunk,
+                    conj_inv=hermitian,
                 )
-                buf = buf.at[t["tp"]].set(panels)
             if t["ga"].shape[0]:
-                a = buf[t["ga"]]
-                b = a if t["ga"] is t["gb"] else buf[t["gb"]]
-                if hermitian and jnp.iscomplexobj(buf):
-                    b = jnp.conj(b)
-                if update_dtype is not None:
-                    a = a.astype(update_dtype)
-                    b = b.astype(update_dtype)
-                W = jnp.einsum(
-                    "bij,bkj->bik", a, b,
-                    preferred_element_type=buf.dtype,
-                    precision=K.matmul_precision(),
-                ).astype(buf.dtype)
-                buf = buf.at[t["gd"]].add(-W)
+                buf = K.gemm_scatter(
+                    buf, t["ga"], t["gb"], t["gd"],
+                    update_dtype=update_dtype, hermitian=hermitian,
+                    chunk=chunk,
+                )
         return buf
 
     jfn = jax.jit(seg_fact, donate_argnums=(0,))
@@ -212,7 +256,8 @@ def build_segment_fact_fn(layout: SolverLayout, seg: OOCSegment,
 
 
 def build_segment_fact_fn_ldlt(layout: SolverLayout, seg: OOCSegment,
-                               hermitian: bool = False, update_dtype=None):
+                               hermitian: bool = False, update_dtype=None,
+                               chunk: int = 0):
     """Jitted LDL^T/LDL^H program over one segment's buffer.
 
     Carries the resident (nbc, T) pivot array and the static-pivot counter
@@ -233,29 +278,32 @@ def build_segment_fact_fn_ldlt(layout: SolverLayout, seg: OOCSegment,
             valid = t["cols"] < nbc
             npiv = npiv + jnp.where(valid, piv, 0).sum(dtype=jnp.int32)
             if t["tp"].shape[0]:
-                inv_p = dinv[t["tcpos"]]
-                if hermitian and jnp.iscomplexobj(buf):
-                    inv_p = jnp.conj(inv_p)
-                panels = jnp.einsum(
-                    "bij,bkj->bik", buf[t["tp"]], inv_p,
-                    preferred_element_type=buf.dtype,
-                    precision=K.matmul_precision(),
-                ) / d_arr[t["tc"]][:, None, :]
-                buf = buf.at[t["tp"]].set(panels)
+                from pastix_tpu.numeric.factorize import _scan_chunks
+
+                nbuf_ = buf.shape[0]
+
+                def trsm_body(buf, tp_c, pos_c, tc_c):
+                    inv_p = dinv[pos_c]
+                    if hermitian and jnp.iscomplexobj(buf):
+                        inv_p = jnp.conj(inv_p)
+                    panels = jnp.einsum(
+                        "bij,bkj->bik", buf[tp_c], inv_p,
+                        preferred_element_type=buf.dtype,
+                        precision=K.matmul_precision(),
+                    ) / d_arr[tc_c][:, None, :]
+                    return buf.at[tp_c].set(panels)
+
+                buf = _scan_chunks(
+                    buf, (t["tp"], t["tcpos"], t["tc"]), (nbuf_, 0, 0),
+                    trsm_body, chunk=chunk,
+                )
             if t["ga"].shape[0]:
-                a = buf[t["ga"]] * d_arr[t["gk"]][:, None, :]
-                b = buf[t["gb"]]
-                if hermitian and jnp.iscomplexobj(buf):
-                    b = jnp.conj(b)
-                if update_dtype is not None:
-                    a = a.astype(update_dtype)
-                    b = b.astype(update_dtype)
-                W = jnp.einsum(
-                    "bij,bkj->bik", a, b,
-                    preferred_element_type=buf.dtype,
-                    precision=K.matmul_precision(),
-                ).astype(buf.dtype)
-                buf = buf.at[t["gd"]].add(-W)
+                buf = K.gemm_scatter(
+                    buf, t["ga"], t["gb"], t["gd"],
+                    scale_cols=d_arr[t["gk"]],
+                    update_dtype=update_dtype, hermitian=hermitian,
+                    chunk=chunk,
+                )
         return buf, d_arr, npiv
 
     jfn = jax.jit(seg_fact, donate_argnums=(0, 1, 2))
@@ -265,6 +313,112 @@ def build_segment_fact_fn_ldlt(layout: SolverLayout, seg: OOCSegment,
     )
     # gk = source block column of each gemm triple (host-built per segment)
     return lambda buf, d_arr, npiv, eps: jfn(buf, d_arr, npiv, eps, tabs_dev)
+
+
+def build_segment_fact_fn_lu(layout: SolverLayout, seg: OOCSegment,
+                             update_dtype=None, chunk: int = 0):
+    """Jitted LU program over one segment's two buffers (L and Ut windows
+    + exports).  Mirrors factorize.lu_level_unroll on remapped tables:
+    combined-LU diagonal factor with static pivoting, both panel TRSMs as
+    matmuls against the fused inverses, cross-pool trailing updates
+    (L <- L - Lp @ Ut^T into gd; Ut <- Ut - Utp @ Lp^T into off-diagonal
+    targets).  Reference: src/sopalin/src/ooc.c pages the LU coeftabs the
+    same way it pages Cholesky's."""
+    from pastix_tpu.numeric.factorize import _scan_chunks
+
+    nbc = layout.nbc
+
+    def seg_fact(buf_l, buf_u, npiv, eps, tabs):
+        for t in tabs:
+            diag, linv, uinv_t, piv = K.getrf_inv_batch(
+                buf_l[t["diag"]], eps
+            )
+            buf_l = buf_l.at[t["diag"]].set(diag)
+            valid = t["cols"] < nbc
+            npiv = npiv + jnp.where(valid, piv, 0).sum(dtype=jnp.int32)
+            if t["tp"].shape[0]:
+                nbuf_ = buf_l.shape[0]
+
+                def trsm_body(carry, tp_c, pos_c):
+                    bl, bu = carry
+                    lp = jnp.einsum(
+                        "bij,bkj->bik", bl[tp_c], uinv_t[pos_c],
+                        preferred_element_type=bl.dtype,
+                        precision=K.matmul_precision(),
+                    )
+                    up = jnp.einsum(
+                        "bij,bkj->bik", bu[tp_c], linv[pos_c],
+                        preferred_element_type=bu.dtype,
+                        precision=K.matmul_precision(),
+                    )
+                    return bl.at[tp_c].set(lp), bu.at[tp_c].set(up)
+
+                buf_l, buf_u = _scan_chunks(
+                    (buf_l, buf_u), (t["tp"], t["tcpos"]), (nbuf_, 0),
+                    trsm_body, chunk=chunk,
+                )
+            if t["ga"].shape[0]:
+                buf_l = K.gemm_scatter_ab(
+                    buf_l, buf_l, buf_u, t["ga"], t["gb"], t["gd"],
+                    update_dtype=update_dtype, chunk=chunk,
+                )
+            if t["ga_nd"].shape[0]:
+                buf_u = K.gemm_scatter_ab(
+                    buf_u, buf_u, buf_l,
+                    t["ga_nd"], t["gb_nd"], t["gd_nd"],
+                    update_dtype=update_dtype, chunk=chunk,
+                )
+        return buf_l, buf_u, npiv
+
+    jfn = jax.jit(seg_fact, donate_argnums=(0, 1, 2))
+    keep = ("diag", "tp", "tcpos", "cols", "ga", "gb", "gd",
+            "ga_nd", "gb_nd", "gd_nd")
+    tabs_dev = jax.device_put(
+        [{k: v for k, v in t.items() if k in keep} for t in seg.tables]
+    )
+    return lambda bl, bu, npiv, eps: jfn(bl, bu, npiv, eps, tabs_dev)
+
+
+def factorize_ooc_lu(
+    layout: SolverLayout,
+    plan: OOCPlan,
+    host_pool: np.ndarray,
+    host_pool_u: np.ndarray,
+    eps,
+    update_dtype=None,
+    verbose: bool = False,
+):
+    """Stream the LU factorization; modifies both host pools in place.
+
+    Returns (host_pool, host_pool_u, npiv)."""
+    T = layout.T
+    npiv = jnp.zeros((), jnp.int32)
+    eps_dev = jnp.asarray(eps, host_pool.dtype)
+    for si, seg in enumerate(plan.segments):
+        fn = getattr(seg, "_fact_fn_lu", None)
+        if fn is None:
+            fn = build_segment_fact_fn_lu(
+                layout, seg, update_dtype=update_dtype,
+                chunk=plan.gemm_chunk,
+            )
+            seg._fact_fn_lu = fn
+        ze = np.zeros((seg.n_out + 1, T, T), host_pool.dtype)
+        bl0 = np.concatenate([host_pool[seg.win], ze])
+        bu0 = np.concatenate([host_pool_u[seg.win], ze])
+        bl, bu, npiv = fn(jnp.asarray(bl0), jnp.asarray(bu0), npiv, eps_dev)
+        bl, bu = np.asarray(bl), np.asarray(bu)
+        host_pool[seg.win] = bl[: seg.n_win]
+        host_pool_u[seg.win] = bu[: seg.n_win]
+        if seg.n_out:
+            sl = slice(seg.n_win, seg.n_win + seg.n_out)
+            host_pool[seg.touched_out] += bl[sl]
+            host_pool_u[seg.touched_out] += bu[sl]
+        if verbose:
+            print(
+                f"[pastix-tpu] ooc segment {si + 1}/{len(plan.segments)}: "
+                f"win={seg.n_win} out={seg.n_out} tiles (x2 pools)"
+            )
+    return host_pool, host_pool_u, int(npiv)
 
 
 def factorize_ooc_ldlt(
@@ -285,7 +439,8 @@ def factorize_ooc_ldlt(
         fn = getattr(seg, "_fact_fn_ldlt", None)
         if fn is None:
             fn = build_segment_fact_fn_ldlt(
-                layout, seg, hermitian=hermitian, update_dtype=update_dtype
+                layout, seg, hermitian=hermitian, update_dtype=update_dtype,
+                chunk=plan.gemm_chunk,
             )
             seg._fact_fn_ldlt = fn
         buf0 = np.concatenate(
@@ -324,7 +479,8 @@ def factorize_ooc(
         fn = getattr(seg, "_fact_fn", None)
         if fn is None:
             fn = build_segment_fact_fn(
-                layout, seg, hermitian=hermitian, update_dtype=update_dtype
+                layout, seg, hermitian=hermitian, update_dtype=update_dtype,
+                chunk=plan.gemm_chunk,
             )
             seg._fact_fn = fn
         buf0 = np.concatenate(
@@ -379,6 +535,34 @@ def build_segment_solve_fns(layout: SolverLayout, seg: OOCSegment,
     )
 
 
+def build_segment_solve_fns_lu(layout: SolverLayout, seg: OOCSegment):
+    """Jitted partial sweeps for streamed LU: forward Ly=b (unit lower, L
+    window), backward Ux=y (upper from the combined diag tile in the L
+    window, off-diagonal contributions from the Ut window)."""
+    from pastix_tpu.solve import _fwd_level, _bwd_level
+
+    def fwd(win_l, y, tabs):
+        for t in tabs:
+            y = _fwd_level(win_l, y, t, unit=True)
+        return y
+
+    def bwd(win_u, win_l, x, tabs):
+        for t in reversed(list(tabs)):
+            x = _bwd_level(win_u, win_l, x, t, lower_t=False, unit=False)
+        return x
+
+    tabs_dev = jax.device_put([
+        {k: t[k] for k in ("cols", "diag", "tp", "tr", "tc")}
+        for t in seg.tables
+    ])
+    jf = jax.jit(fwd)
+    jb = jax.jit(bwd)
+    return (
+        lambda win_l, y: jf(win_l, y, tabs_dev),
+        lambda win_u, win_l, x: jb(win_u, win_l, x, tabs_dev),
+    )
+
+
 def solve_ooc(
     layout: SolverLayout,
     plan: OOCPlan,
@@ -386,12 +570,31 @@ def solve_ooc(
     b_blocks: np.ndarray,
     hermitian: bool = True,
     d: Optional[np.ndarray] = None,
+    host_pool_u: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Streamed solve: forward over segments, then backward.
 
     With ``d`` (the LDL^T pivots, (nbc, T)): unit-diagonal sweeps with the
     D scaling applied between them — the streamed twin of solve.py's
-    solve_ldlt."""
+    solve_ldlt.  With ``host_pool_u`` (streamed LU): unit-lower forward on
+    the L windows, upper backward on the Ut windows."""
+    if host_pool_u is not None:
+        y = jnp.asarray(b_blocks)
+        fns = []
+        for seg in plan.segments:
+            f = getattr(seg, "_solve_fns_lu", None)
+            if f is None:
+                f = build_segment_solve_fns_lu(layout, seg)
+                seg._solve_fns_lu = f
+            fns.append(f)
+        for seg, (fwd, _) in zip(plan.segments, fns):
+            y = fwd(jnp.asarray(host_pool[seg.win]), y)
+        for seg, (_, bwd) in zip(reversed(plan.segments), reversed(fns)):
+            y = bwd(
+                jnp.asarray(host_pool_u[seg.win]),
+                jnp.asarray(host_pool[seg.win]), y,
+            )
+        return np.asarray(y)
     unit = d is not None
     y = jnp.asarray(b_blocks)
     fns = []

@@ -199,6 +199,302 @@ def gemm_scatter_fused(
 
 
 # ---------------------------------------------------------------------------
+# Pipelined fused E2 (round-3): double-buffered DMA, dst prefetch
+# ---------------------------------------------------------------------------
+#
+# The round-2 kernel above waits each step's a/b DMAs immediately after
+# starting them, so every grid step serializes issue latency + transfer
+# before its one MXU dot — measured at parity with the XLA
+# gather-GEMM-scatter (6.1 TF/s bf16, HBM-bound).  This version keeps the
+# dst-sorted accumulate-in-VMEM schedule (each dst tile is read+written
+# exactly once) and pipelines everything movable:
+#
+#   * a/b operands: two VMEM slots, step i starts the DMAs for step i+1
+#     before waiting its own — transfer rides under the previous compute;
+#   * dst accumulators: two VMEM slots keyed by segment parity; the read
+#     of segment s+1's dst starts at the FIRST step of segment s, and
+#     segment s's write-out is waited by the read of segment s+2 (same
+#     slot) or the end-of-kernel drain — boundary stalls collapse to one
+#     semaphore wait instead of a full round-trip.
+#
+# Schedule tables are host-built (build_pipeline_schedule) and chunked so
+# the scalar-prefetch arrays stay SMEM-sized; a dst segment split by a
+# chunk boundary is simply read+written once per chunk (the second chunk
+# re-reads the accumulated value — pallas_call boundaries order the two).
+#
+# Reference hot loop: the E2 task of sopalin_smp
+# (src/sopalin/src/sopalin3d.c) — SURVEY.md section 2 row 9.
+
+_F_FIRST, _F_LAST, _F_WRWAIT, _F_PAR = 1, 2, 4, 8
+
+
+def build_pipeline_schedule(ga, gb, gd, gk=None, chunk: int = 8192):
+    """Sort triples by dst and emit per-chunk static schedules.
+
+    Returns a list of dicts with int32 arrays (ga, gb, gd, flags, rd) of
+    one chunk's length plus the 2-element end-drain tables (endw, endt).
+    """
+    order = np.argsort(gd, kind="stable")
+    ga = np.asarray(ga, np.int32)[order]
+    gb = np.asarray(gb, np.int32)[order]
+    gd = np.asarray(gd, np.int32)[order]
+    # the pipeline prefetches a/b one step ahead of the dst write-backs:
+    # sources and destinations must be disjoint within one level (they are,
+    # by the level-set schedule — updates flow strictly to later levels)
+    assert not np.intersect1d(gd, np.concatenate([ga, gb])).size, (
+        "E2 dst tiles overlap operand tiles within a level"
+    )
+    if gk is not None:
+        gk = np.asarray(gk, np.int32)[order]
+    ng = gd.size
+    out = []
+    for lo in range(0, ng, chunk):
+        hi = min(lo + chunk, ng)
+        d = gd[lo:hi]
+        n = hi - lo
+        first = np.empty(n, np.int32)
+        first[0] = 1
+        first[1:] = d[1:] != d[:-1]
+        last = np.empty(n, np.int32)
+        last[-1] = 1
+        last[:-1] = d[1:] != d[:-1]
+        seg = np.cumsum(first) - 1  # segment id per step
+        nseg = int(seg[-1]) + 1
+        par = seg & 1
+        # rd[i]: at the first step of segment s, the dst tile of segment
+        # s+1 (sentinel -1 when none; also carries segment 0's own dst at
+        # step 0 via the kernel's warm-up special case)
+        firsts = np.flatnonzero(first)
+        seg_dst = d[firsts]
+        rd = np.full(n, -1, np.int32)
+        rd[firsts[:-1]] = seg_dst[1:]
+        # wr_wait: the read into slot (s+1)%2 must complete segment s-1's
+        # pending write on that slot first (its dst is gd[i-1])
+        # set at first steps of segments 1..nseg-2: a previous segment
+        # exists (its write owns slot (s+1)%2) AND a next read will start
+        wr_wait = np.zeros(n, np.int32)
+        wr_wait[firsts[1:-1]] = 1
+        flags = (
+            first * _F_FIRST
+            + last * _F_LAST
+            + wr_wait * _F_WRWAIT
+            + par * _F_PAR
+        ).astype(np.int32)
+        # end drain: writes of the last two segments are never waited by a
+        # later read — wait them (per acc slot) at the final grid step
+        endw = np.zeros(2, np.int32)
+        endt = np.zeros(2, np.int32)
+        p_last = (nseg - 1) & 1
+        endw[p_last] = 1
+        endt[p_last] = seg_dst[-1]
+        if nseg >= 2:
+            endw[1 - p_last] = 1
+            endt[1 - p_last] = seg_dst[-2]
+        t = {
+            "ga": ga[lo:hi], "gb": gb[lo:hi], "gd": d,
+            "flags": flags, "rd": rd, "endw": endw, "endt": endt,
+        }
+        if gk is not None:
+            t["gk"] = gk[lo:hi]
+        out.append(t)
+    return out
+
+
+def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype):
+    cdt = update_dtype or out_dtype
+
+    def kernel(*args):
+        if scaled:
+            ga, gb, gd, flags, rd, endw, endt, gk = args[:8]
+            refs = args[8:]
+        else:
+            ga, gb, gd, flags, rd, endw, endt = args[:7]
+            refs = args[7:]
+        refs = refs[1:]  # drop the input pool ref (aliased to out)
+        if cross:
+            src = refs[0]
+            refs = refs[1:]
+        if scaled:
+            d_ref = refs[0]
+            refs = refs[1:]
+        out, a_buf, b_buf, acc, asem, bsem, rsem, wsem = refs
+        if not cross:
+            src = out
+        i = pl.program_id(0)
+        f = flags[i]
+        par = (f // _F_PAR) % 2
+
+        def a_cp(step, sl):
+            return pltpu.make_async_copy(
+                out.at[ga[step]], a_buf.at[sl], asem.at[sl]
+            )
+
+        def b_cp(step, sl):
+            return pltpu.make_async_copy(
+                src.at[gb[step]], b_buf.at[sl], bsem.at[sl]
+            )
+
+        @pl.when(i == 0)
+        def _():
+            a_cp(0, 0).start()
+            b_cp(0, 0).start()
+            # warm-up read of segment 0's dst into its parity slot (0)
+            pltpu.make_async_copy(out.at[gd[0]], acc.at[0], rsem.at[0]).start()
+
+        @pl.when(i + 1 < ng)
+        def _():
+            sl = (i + 1) % 2
+            a_cp(i + 1, sl).start()
+            b_cp(i + 1, sl).start()
+
+        @pl.when(f % 2 == 1)  # first step of a segment
+        def _():
+            # complete this segment's dst read
+            pltpu.make_async_copy(
+                out.at[gd[i]], acc.at[par], rsem.at[par]
+            ).wait()
+
+            @pl.when(rd[i] >= 0)
+            def _():
+                q = 1 - par
+
+                @pl.when((f // _F_WRWAIT) % 2 == 1)
+                def _():
+                    # segment s-1's write still owns slot q; gd[i-1] is its
+                    # dst (the step before a first step closed segment s-1)
+                    pltpu.make_async_copy(
+                        acc.at[q], out.at[gd[i - 1]], wsem.at[q]
+                    ).wait()
+
+                pltpu.make_async_copy(
+                    out.at[rd[i]], acc.at[q], rsem.at[q]
+                ).start()
+
+        sl = i % 2
+        a_cp(i, sl).wait()
+        b_cp(i, sl).wait()
+        a = a_buf[sl]
+        if scaled:
+            a = a * d_ref[gk[i]][None, :]
+        b = b_buf[sl]
+        dn = (((1,), (1,)), ((), ()))
+        if update_dtype is not None:
+            contrib = jax.lax.dot_general(
+                a.astype(cdt), b.astype(cdt), dn,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            # ~Precision.HIGH from three bf16 passes (Mosaic's HIGHEST
+            # lowering wedges the remote compiler — see round-2 notes)
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            b_hi = b.astype(jnp.bfloat16)
+            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            f32 = jnp.float32
+            contrib = (
+                jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=f32)
+                + jax.lax.dot_general(a_hi, b_lo, dn, preferred_element_type=f32)
+                + jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=f32)
+            )
+        acc[par] = acc[par] - contrib.astype(out_dtype)
+
+        @pl.when((f // _F_LAST) % 2 == 1)  # last step of a segment
+        def _():
+            pltpu.make_async_copy(
+                acc.at[par], out.at[gd[i]], wsem.at[par]
+            ).start()
+
+        @pl.when(i == ng - 1)
+        def _():
+            for p in range(2):
+                @pl.when(endw[p] == 1)
+                def _(p=p):
+                    pltpu.make_async_copy(
+                        acc.at[p], out.at[endt[p]], wsem.at[p]
+                    ).wait()
+
+    return kernel
+
+
+def gemm_scatter_pipelined(
+    pool,
+    schedule,
+    d=None,
+    src_pool=None,
+    update_dtype=None,
+    interpret=None,
+):
+    """pool[gd] -= op(a) @ b^T via the pipelined fused kernel.
+
+    ``schedule`` comes from build_pipeline_schedule (host-static chunked
+    tables).  a tiles are read from ``pool``; b tiles from ``src_pool`` if
+    given (the LU cross-pool update) else from ``pool``.  With ``d``,
+    a-columns are scaled by d[gk] (the LDL^T D).  Returns the updated pool
+    (same buffer — donated via input_output_aliases).
+    """
+    if interpret is None:
+        interpret = _INTERPRET
+    T = pool.shape[1]
+    cross = src_pool is not None
+    scaled = d is not None
+    out_dtype = pool.dtype
+    for t in schedule:
+        ng = int(t["ga"].shape[0])
+        if ng == 0:
+            continue
+        kernel = _mk_pipelined_kernel(ng, cross, scaled, update_dtype,
+                                      out_dtype)
+        scalars = [
+            jnp.asarray(t["ga"]), jnp.asarray(t["gb"]),
+            jnp.asarray(t["gd"]), jnp.asarray(t["flags"]),
+            jnp.asarray(t["rd"]), jnp.asarray(t["endw"]),
+            jnp.asarray(t["endt"]),
+        ]
+        if scaled:
+            scalars.append(jnp.asarray(t["gk"]))
+        nsc = len(scalars)
+
+        in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+        operands = [pool]
+        if cross:
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            operands.append(src_pool)
+        if scaled:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            operands.append(d)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=nsc,
+            grid=(ng,),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, T, T), out_dtype),  # a slots
+                pltpu.VMEM((2, T, T), out_dtype),  # b slots
+                pltpu.VMEM((2, T, T), out_dtype),  # dst accumulators
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+        pool = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(pool.shape, out_dtype),
+            input_output_aliases={nsc: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ng * T * T * T,
+                bytes_accessed=ng * 2 * T * T * out_dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*scalars, *operands)
+    return pool
+
+
+# ---------------------------------------------------------------------------
 # Fused batched Cholesky + triangular inverse (the DIAG latency fix)
 # ---------------------------------------------------------------------------
 #

@@ -374,7 +374,7 @@ class Pastix:
             and (
                 (cfg.factorization == Factorization.LLT and self._hermitian)
                 or cfg.factorization
-                in (Factorization.LDLT, Factorization.LDLH)
+                in (Factorization.LDLT, Factorization.LDLH, Factorization.LU)
             )
             and self._schur_first_bcol is None
             and not cfg.incomplete
@@ -424,13 +424,18 @@ class Pastix:
         self._ooc_plan = None
         if self._ooc_stream:
             dtype_bytes = np.dtype(cfg.compute_dtype).itemsize
-            pool_bytes = self.layout.npool * self.layout.T ** 2 * dtype_bytes
+            is_lu = cfg.factorization == Factorization.LU
+            npools = 2 if is_lu else 1
+            pool_bytes = (
+                self.layout.npool * self.layout.T ** 2 * dtype_bytes * npools
+            )
             budget = cfg.ooc_limit_mb * 1024 * 1024
             if pool_bytes > budget:
                 from pastix_tpu.numeric.ooc import plan_ooc
 
                 self._ooc_plan = plan_ooc(
-                    self.layout, budget, dtype_bytes=dtype_bytes
+                    self.layout, budget, dtype_bytes=dtype_bytes,
+                    two_pools=is_lu,
                 )
                 if cfg.verbosity >= Verbosity.YES:
                     mf = self._ooc_plan.max_footprint_tiles()
@@ -791,13 +796,25 @@ class Pastix:
         """Streaming OOC numeric phase: the host pool is the backing store;
         device holds one segment window at a time (numeric/ooc.py)."""
         cfg = self.config
-        from pastix_tpu.numeric.ooc import factorize_ooc, factorize_ooc_ldlt
+        from pastix_tpu.numeric.ooc import (
+            factorize_ooc, factorize_ooc_ldlt, factorize_ooc_lu)
 
-        host_pool, _ = coefinit(self.layout, self._A_perm, dtype=dtype)
+        is_lu = cfg.factorization == Factorization.LU
+        host_pool, host_pool_u = coefinit(
+            self.layout, self._A_perm, dtype=dtype, for_lu=is_lu
+        )
         upd = np.dtype(cfg.update_dtype).type if cfg.update_dtype else None
         npiv = 0
         d = None
-        if cfg.factorization in (Factorization.LDLT, Factorization.LDLH):
+        if is_lu:
+            anorm = float(abs(self._A_perm).max()) if self._A_perm.nnz else 1.0
+            host_pool, host_pool_u, npiv = factorize_ooc_lu(
+                self.layout, self._ooc_plan, host_pool, host_pool_u,
+                eps=cfg.static_pivoting_threshold * anorm,
+                update_dtype=upd,
+                verbose=cfg.verbosity >= Verbosity.YES,
+            )
+        elif cfg.factorization in (Factorization.LDLT, Factorization.LDLH):
             anorm = float(abs(self._A_perm).max()) if self._A_perm.nnz else 1.0
             host_pool, d, npiv = factorize_ooc_ldlt(
                 self.layout, self._ooc_plan, host_pool,
@@ -823,7 +840,7 @@ class Pastix:
                     "systems."
                 )
         self.factors = Factors(
-            cfg.factorization, self.layout, host_pool, None, d, npiv
+            cfg.factorization, self.layout, host_pool, host_pool_u, d, npiv
         )
         self.factors._offloaded = True  # host-resident by construction
         self.factors._streamed = True
@@ -951,6 +968,11 @@ class Pastix:
                 d=(
                     np.asarray(self.factors.d)
                     if self.factors.d is not None
+                    else None
+                ),
+                host_pool_u=(
+                    np.asarray(self.factors.pool_u)
+                    if self.factors.pool_u is not None
                     else None
                 ),
             )

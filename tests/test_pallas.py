@@ -75,6 +75,75 @@ def test_fused_matches_xla_cross_pool(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3)
 
 
+def test_pipelined_matches_xla_plain(rng):
+    from pastix_tpu.numeric.pallas_kernels import (
+        build_pipeline_schedule, gemm_scatter_pipelined)
+
+    npool, T, ng = 40, 16, 33
+    pool = rng.standard_normal((npool, T, T)).astype(np.float32)
+    ga, gb, gd = _triples(rng, ng, 20, npool)
+    ref = K.gemm_scatter(
+        jnp.asarray(pool), jnp.asarray(ga), jnp.asarray(gb), jnp.asarray(gd)
+    )
+    for chunk in (7, 4096):  # chunk boundary splits dst segments
+        sched = build_pipeline_schedule(ga, gb, gd, chunk=chunk)
+        out = gemm_scatter_pipelined(jnp.asarray(pool), sched)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3
+        )
+
+
+def test_pipelined_matches_xla_scaled(rng):
+    from pastix_tpu.numeric.pallas_kernels import (
+        build_pipeline_schedule, gemm_scatter_pipelined)
+
+    npool, T, ng, nbc = 30, 8, 20, 6
+    pool = rng.standard_normal((npool, T, T)).astype(np.float32)
+    ga, gb, gd = _triples(rng, ng, 15, npool)
+    d = (rng.standard_normal((nbc, T)) + 3).astype(np.float32)
+    gk = rng.integers(0, nbc, ng).astype(np.int32)
+    ref = K.gemm_scatter(
+        jnp.asarray(pool), jnp.asarray(ga), jnp.asarray(gb), jnp.asarray(gd),
+        scale_cols=jnp.asarray(d)[gk],
+    )
+    sched = build_pipeline_schedule(ga, gb, gd, gk=gk, chunk=9)
+    out = gemm_scatter_pipelined(jnp.asarray(pool), sched, d=jnp.asarray(d))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_pipelined_matches_xla_cross_pool(rng):
+    from pastix_tpu.numeric.pallas_kernels import (
+        build_pipeline_schedule, gemm_scatter_pipelined)
+
+    npool, T, ng = 30, 8, 20
+    pool = rng.standard_normal((npool, T, T)).astype(np.float32)
+    pool_u = rng.standard_normal((npool, T, T)).astype(np.float32)
+    ga, gb, gd = _triples(rng, ng, 15, npool)
+    ref = K.gemm_scatter_ab(
+        jnp.asarray(pool), jnp.asarray(pool), jnp.asarray(pool_u),
+        jnp.asarray(ga), jnp.asarray(gb), jnp.asarray(gd),
+    )
+    sched = build_pipeline_schedule(ga, gb, gd, chunk=9)
+    out = gemm_scatter_pipelined(
+        jnp.asarray(pool), sched, src_pool=jnp.asarray(pool_u)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_pipelined_rejects_overlapping_src_dst(rng):
+    from pastix_tpu.numeric.pallas_kernels import build_pipeline_schedule
+
+    ga = np.array([0, 1], np.int32)
+    gb = np.array([2, 3], np.int32)
+    gd = np.array([1, 4], np.int32)  # dst 1 is also an a-tile
+    with pytest.raises(AssertionError):
+        build_pipeline_schedule(ga, gb, gd)
+
+
 def test_full_factorization_pallas_path(rng):
     """LLT end-to-end with every level routed through the fused kernel."""
     from pastix_tpu.generators import laplacian_2d
