@@ -1120,46 +1120,19 @@ class Pastix:
             rdt = np.result_type(
                 np.dtype(cfg.residual_dtype), Ap.dtype, b_ext.dtype
             ).type
-            if np.asarray(b).ndim == 1:
-                res = refine_fn(
-                    matvec, precond, b_ext, x_ext,
-                    method=cfg.refinement, eps=cfg.refinement_eps,
-                    itermax=cfg.refinement_itermax,
-                    gmres_restart=cfg.gmres_restart,
-                    dtype=rdt,
-                )
-                x_ext = res.x
-                self.report.refine_iters = dev_iters + res.iterations
-                self.report.residual = res.residual
-            elif cfg.refinement == RefinementMethod.SIMPLE:
-                # whole RHS block refined together: one factored solve per
-                # iteration regardless of nrhs
-                from pastix_tpu.refine import refine_block
-
-                res = refine_block(
-                    matvec, precond, b_ext, x_ext,
-                    eps=cfg.refinement_eps, itermax=cfg.refinement_itermax,
-                    dtype=rdt,
-                )
-                x_ext = res.x
-                self.report.refine_iters = dev_iters + res.iterations
-                self.report.residual = res.residual
-            else:
-                iters = 0
-                cols = []
-                for k in range(np.asarray(b).shape[1]):
-                    res = refine_fn(
-                        matvec, lambda v: self._raw_solve_ext(v), b_ext[:, k],
-                        x_ext[:, k], method=cfg.refinement,
-                        eps=cfg.refinement_eps, itermax=cfg.refinement_itermax,
-                        gmres_restart=cfg.gmres_restart,
-                        dtype=rdt,
-                    )
-                    cols.append(res.x)
-                    iters = max(iters, res.iterations)
-                x_ext = np.stack(cols, axis=1)
-                self.report.refine_iters = dev_iters + iters
-                self.report.residual = res.residual
+            # 1-D and block RHS alike: refine() refines the whole block
+            # with SHARED factored solves per iteration for every method
+            # (reference raff.c refines the block, not column by column)
+            res = refine_fn(
+                matvec, precond, b_ext, x_ext,
+                method=cfg.refinement, eps=cfg.refinement_eps,
+                itermax=cfg.refinement_itermax,
+                gmres_restart=cfg.gmres_restart,
+                dtype=rdt,
+            )
+            x_ext = res.x
+            self.report.refine_iters = dev_iters + res.iterations
+            self.report.residual = res.residual
             self.report.refine_time = time.perf_counter() - t0
             self._trace_phase("refine", t0)
         else:
