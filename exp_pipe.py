@@ -1,20 +1,22 @@
 """Microbench: E2 update-kernel rate — XLA gather-GEMM-scatter vs the
 round-2 fused kernel vs the round-3 pipelined kernel.
 
-Synthetic workload shaped like a real unrolled level: ng triples over a
-npool-tile pool, dst duplication ~seg (triples per dst segment).
-Run on TPU: python exp_pipe.py [ng] [npool] [T] [seg]
+The op is iterated K times INSIDE one jitted program (the tunnel's
+device->host sync costs ~50 ms, which would swamp a per-call timing).
+Run on TPU: python exp_pipe.py [ng] [npool] [T] [seg] [K]
 """
 import sys, time
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 ng = int(sys.argv[1]) if len(sys.argv) > 1 else 8192
 npool = int(sys.argv[2]) if len(sys.argv) > 2 else 12000
 T = int(sys.argv[3]) if len(sys.argv) > 3 else 128
 seg = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+K_IT = int(sys.argv[5]) if len(sys.argv) > 5 else 20
 
 cache = "/root/.cache/pastix_jax"
 try:
@@ -42,25 +44,35 @@ def sync(x):
     jax.block_until_ready(x)
     return float(np.asarray(x[-1])[-1, -1])
 
-def timeit(name, fn, reps=5):
-    out = fn(pool); sync(out)   # compile
+def timeit(name, op, reps=3):
+    @jax.jit
+    def many(p):
+        return lax.fori_loop(0, K_IT, lambda i, q: op(q), p)
+    out = many(pool); sync(out)   # compile
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(pool); sync(out)
+        out = many(pool); sync(out)
         ts.append(time.perf_counter() - t0)
-    t = min(ts)
-    print(f"{name:26s}: {t*1e3:8.2f} ms  {flops/t/1e12:6.2f} TF/s")
+    t = min(ts) / K_IT
+    print(f"{name:26s}: {t*1e3:8.2f} ms  {flops/t/1e12:6.2f} TF/s", flush=True)
 
 for upd, tag in ((jnp.bfloat16, "bf16"), (None, "fp32-high")):
-    print(f"--- update_dtype={tag} ng={ng} T={T} seg~{seg} ---")
-    xfn = jax.jit(lambda p, u=upd: K.gemm_scatter(p, ga, gb, gd,
-                                                  update_dtype=u, chunk=0))
-    timeit("XLA gather-GEMM-scatter", xfn)
+    print(f"--- update_dtype={tag} ng={ng} T={T} seg~{seg} K={K_IT} ---",
+          flush=True)
+    timeit("XLA gather-GEMM-scatter",
+           lambda p, u=upd: K.gemm_scatter(p, ga, gb, gd, update_dtype=u,
+                                           chunk=0))
     st = sort_triples(ga, gb, gd)
-    f2 = jax.jit(lambda p, u=upd: gemm_scatter_fused(p, *st, update_dtype=u))
-    timeit("fused r2 (serial DMA)", f2)
+    timeit("fused r2 (serial DMA)",
+           lambda p, u=upd: gemm_scatter_fused(p, *st, update_dtype=u))
     sched = build_pipeline_schedule(ga, gb, gd)
-    f3 = jax.jit(lambda p, u=upd: gemm_scatter_pipelined(p, sched,
-                                                         update_dtype=u))
-    timeit("pipelined r3", f3)
+    timeit("pipelined r3",
+           lambda p, u=upd: gemm_scatter_pipelined(p, sched, update_dtype=u))
+
+from pastix_tpu.numeric.pallas_kernels import gemm_scatter_blockspec
+for upd, tag in ((jnp.bfloat16, "bf16"), (None, "fp32-high")):
+    print(f"--- blockspec update_dtype={tag} ---", flush=True)
+    sched = build_pipeline_schedule(ga, gb, gd)
+    timeit("blockspec (Mosaic pipe)",
+           lambda p, u=upd: gemm_scatter_blockspec(p, sched, update_dtype=u))

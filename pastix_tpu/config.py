@@ -188,6 +188,11 @@ class PastixConfig:
     # --- distribution (replaces IPARM_THREAD_NBR / MPI world) ---
     mesh_shape: Optional[tuple] = None  # e.g. (8,) or (4, 2); None = 1 device
     mesh_axis_names: tuple = ("tp",)
+    shard_pool: Optional[bool] = None  # owner-computes distribution of the
+    # tile pool itself over the tp axis (parallel/owner.py): each device
+    # holds ~npool/ndev tiles + per-level halo/fan-in buffers, the way the
+    # reference's blend emits a local SolverMatrix per rank.  None = auto
+    # (on for real LL^T on a tp mesh); False = replicated-pool builders.
     dist_strategy: str = "level"  # multi-device schedule over the tp axis:
     # "level"   — bulk-synchronous per-level psum fan-in (parallel/sharded.py;
     #             all factorization kinds, dense-tail 2D sharding);
@@ -346,6 +351,8 @@ class SolveReport:
     solve_time: float = 0.0  # DPARM_SOLV_TIME
     refine_time: float = 0.0  # DPARM_RAFF_TIME
     fact_gflops: float = 0.0  # achieved useful GFLOP/s
+    predicted_fact_time: float = 0.0  # perf-model prediction (0 = none):
+    # the measured-calibration analog of blend's simulated schedule cost
     static_pivots: int = 0  # IPARM_STATIC_PIVOTING
     refine_iters: int = 0
     residual: float = 0.0  # final ||b - Ax|| / ||b||

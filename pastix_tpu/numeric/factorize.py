@@ -357,13 +357,15 @@ def build_factorize_fn(
 
     if use_pallas is None:
         # Mosaic DMA slices need the lane dim aligned to 128: the fused
-        # kernel requires T % 128 == 0.  Opt-in for now (PASTIX_USE_PALLAS=1):
-        # per-level kernel compiles are minutes-slow through the remote-TPU
-        # compile helper, and the XLA path is already MXU-batched.
+        # kernel requires T % 128 == 0.  Default ON for TPU since round 3:
+        # the pipelined kernel (double-buffered DMAs, dst-prefetched VMEM
+        # accumulators) measures 1.5x the XLA gather-GEMM-scatter
+        # (5.2 vs 3.5 TF/s bf16, exp_pipe.py).  PASTIX_USE_PALLAS=0
+        # disables.
         import os as _os
 
         use_pallas = (
-            _os.environ.get("PASTIX_USE_PALLAS") == "1"
+            _os.environ.get("PASTIX_USE_PALLAS", "1") != "0"
             and jax.default_backend() == "tpu"
             and layout.T % 128 == 0
         )
@@ -390,7 +392,7 @@ def build_factorize_fn(
 
     is_lu = kind == Factorization.LU
     plan = []
-    for tag, item in group_plan(levels):
+    for tag, item in group_plan(levels, T=layout.T):
         if tag == "unroll":
             t = _unroll_tables(levels[item], use_pallas)
             if packed:

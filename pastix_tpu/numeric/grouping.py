@@ -88,14 +88,39 @@ def _stack_levels(levels: list[LevelTables], npool: int, nbc: int) -> ScanGroup:
     )
 
 
-# Thresholds (env-overridable for experiments).  unroll_gemm=2048: scan
-# groups pad every level to the widest in the run, and the mid-size levels
-# (2k-5k GEMMs) measured ~30% padded-triple waste when scanned -- unrolling
-# them costs program size but no wasted MXU work.  Scan buckets grow 2x so
-# the remaining small-level runs stay tightly packed.
+# Threshold fallbacks (env-overridable for experiments).  unroll_gemm=2048:
+# scan groups pad every level to the widest in the run, and the mid-size
+# levels (2k-5k GEMMs) measured ~30% padded-triple waste when scanned --
+# unrolling them costs program size but no wasted MXU work.  Scan buckets
+# grow 2x so the remaining small-level runs stay tightly packed.
 _UNROLL_GEMM = int(os.environ.get("PASTIX_UNROLL_GEMM", "2048"))
 _UNROLL_DIAG = int(os.environ.get("PASTIX_UNROLL_DIAG", "512"))
 _BUCKET_GROWTH = int(os.environ.get("PASTIX_SCAN_BUCKET_GROWTH", "1"))
+
+
+def resolve_thresholds(T: int | None = None, dtype_str: str = "float32"):
+    """(unroll_gemm, unroll_diag) for the CURRENT backend.
+
+    Precedence: explicit env overrides > the measured perf-model
+    calibration (perf.calibrated_thresholds — the reference's blend
+    consumes its machine model the same way, SURVEY.md §2 rows 7-8) >
+    the static fallbacks.  PASTIX_MEASURED_PLAN=0 disables measurement."""
+    env_g = os.environ.get("PASTIX_UNROLL_GEMM")
+    env_d = os.environ.get("PASTIX_UNROLL_DIAG")
+    if env_g is not None or env_d is not None:
+        return (
+            int(env_g) if env_g is not None else _UNROLL_GEMM,
+            int(env_d) if env_d is not None else _UNROLL_DIAG,
+        )
+    if T is not None and os.environ.get("PASTIX_MEASURED_PLAN", "1") != "0":
+        try:
+            from pastix_tpu.perf import calibrated_thresholds
+
+            th = calibrated_thresholds(T, dtype_str)
+            return th["unroll_gemm"], th["unroll_diag"]
+        except Exception:
+            pass  # no device / measurement failure: static fallbacks
+    return _UNROLL_GEMM, _UNROLL_DIAG
 
 
 def group_plan(
@@ -103,10 +128,15 @@ def group_plan(
     unroll_gemm: int | None = None,
     unroll_diag: int | None = None,
     bucket_base: int = 128,
+    T: int | None = None,
 ):
     """Partition level indices: list of ("unroll", i) / ("scan", [i, ...])
     entries, preserving level order.  Shared by the single-device and
-    sharded table builders."""
+    sharded table builders.  With ``T`` (and no explicit thresholds), the
+    unroll/scan cut comes from the measured perf calibration for the
+    current backend (resolve_thresholds)."""
+    if unroll_gemm is None and unroll_diag is None:
+        unroll_gemm, unroll_diag = resolve_thresholds(T)
     if unroll_gemm is None:
         unroll_gemm = _UNROLL_GEMM
     if unroll_diag is None:

@@ -296,6 +296,14 @@ def build_pipeline_schedule(ga, gb, gd, gk=None, chunk: int = 8192):
         }
         if gk is not None:
             t["gk"] = gk[lo:hi]
+        # compact operand tables for the BlockSpec variant: a/b are
+        # gathered into per-chunk dense arrays OUTSIDE the kernel so the
+        # pool is passed exactly once (aliased dst) — passing it thrice
+        # with one alias would make XLA copy the whole pool
+        t["uniq_a"] = np.unique(t["ga"])
+        t["uniq_b"] = np.unique(t["gb"])
+        t["ga_c"] = np.searchsorted(t["uniq_a"], t["ga"]).astype(np.int32)
+        t["gb_c"] = np.searchsorted(t["uniq_b"], t["gb"]).astype(np.int32)
         out.append(t)
     return out
 
@@ -483,6 +491,146 @@ def gemm_scatter_pipelined(
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct(pool.shape, out_dtype),
             input_output_aliases={nsc: 0},
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * ng * T * T * T,
+                bytes_accessed=ng * 2 * T * T * out_dtype.itemsize,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(*scalars, *operands)
+    return pool
+
+
+# ---------------------------------------------------------------------------
+# BlockSpec-pipelined fused E2: Mosaic drives the gathers
+# ---------------------------------------------------------------------------
+#
+# The manual-DMA pipeline above tops out ~5 TF/s: each grid step issues
+# 4-6 DMA descriptors from the scalar core, and descriptor issue (not
+# transfer) becomes the bottleneck at ~0.8 us/step.  This variant instead
+# expresses the gathers as scalar-prefetched BlockSpec index_maps and lets
+# Mosaic's pipeline emitter do the buffering: a/b/dst blocks are fetched
+# by the hardware-managed double-buffered pipeline, and consecutive steps
+# whose index_map returns the SAME dst block skip the refetch/rewrite —
+# which implements the sorted-segment accumulate for free.
+
+def _mk_blockspec_kernel(scaled, update_dtype, out_dtype):
+    cdt = update_dtype or out_dtype
+
+    def kernel(*args):
+        if scaled:
+            ga, gb, gd, flags, gk = args[:5]
+            refs = args[5:]
+        else:
+            ga, gb, gd, flags = args[:4]
+            refs = args[4:]
+        if scaled:
+            a_ref, b_ref, din_ref, d_ref, out_ref, acc = refs
+        else:
+            a_ref, b_ref, din_ref, out_ref, acc = refs
+        i = pl.program_id(0)
+        f = flags[i]
+
+        @pl.when(f % 2 == 1)  # first step of a dst segment
+        def _():
+            acc[:] = din_ref[0]
+
+        a = a_ref[0]
+        if scaled:
+            a = a * d_ref[gk[i]][None, :]
+        b = b_ref[0]
+        dn = (((1,), (1,)), ((), ()))
+        if update_dtype is not None:
+            contrib = jax.lax.dot_general(
+                a.astype(cdt), b.astype(cdt), dn,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            b_hi = b.astype(jnp.bfloat16)
+            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            f32 = jnp.float32
+            contrib = (
+                jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=f32)
+                + jax.lax.dot_general(a_hi, b_lo, dn, preferred_element_type=f32)
+                + jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=f32)
+            )
+        acc[:] = acc[:] - contrib.astype(out_dtype)
+
+        @pl.when((f // _F_LAST) % 2 == 1)  # last step of a dst segment
+        def _():
+            out_ref[0] = acc[:]
+
+    return kernel
+
+
+def gemm_scatter_blockspec(
+    pool,
+    schedule,
+    d=None,
+    src_pool=None,
+    update_dtype=None,
+    interpret=None,
+):
+    """pool[gd] -= op(a) @ b^T with Mosaic-pipelined block gathers.
+
+    Same contract as gemm_scatter_pipelined (schedule from
+    build_pipeline_schedule); the dst read-modify-write rides the out/in
+    specs' index pipelines, the accumulator lives in VMEM scratch across
+    a sorted segment."""
+    if interpret is None:
+        interpret = _INTERPRET
+    T = pool.shape[1]
+    scaled = d is not None
+    out_dtype = pool.dtype
+    for t in schedule:
+        ng = int(t["ga"].shape[0])
+        if ng == 0:
+            continue
+        src = src_pool if src_pool is not None else pool
+        # compact gathers: the level's operand tiles (post-TRSM panels,
+        # disjoint from the dst tiles) — pool itself is passed ONCE
+        Xa = pool[jnp.asarray(t["uniq_a"])]
+        Xb = src[jnp.asarray(t["uniq_b"])]
+        kernel = _mk_blockspec_kernel(scaled, update_dtype, out_dtype)
+        scalars = [
+            jnp.asarray(t["ga_c"]), jnp.asarray(t["gb_c"]),
+            jnp.asarray(t["gd"]), jnp.asarray(t["flags"]),
+        ]
+        if scaled:
+            scalars.append(jnp.asarray(t["gk"]))
+        nsc = len(scalars)
+
+        def amap(i, *s):
+            return (s[0][i], 0, 0)
+
+        def bmap(i, *s):
+            return (s[1][i], 0, 0)
+
+        def dmap(i, *s):
+            return (s[2][i], 0, 0)
+
+        blk = lambda m: pl.BlockSpec((1, T, T), m)
+        in_specs = [blk(amap), blk(bmap), blk(dmap)]
+        operands = [Xa, Xb, pool]
+        if scaled:
+            in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            operands.append(d)
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=nsc,
+            grid=(ng,),
+            in_specs=in_specs,
+            out_specs=blk(dmap),
+            scratch_shapes=[pltpu.VMEM((T, T), out_dtype)],
+        )
+        pool = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(pool.shape, out_dtype),
+            input_output_aliases={nsc + 2: 0},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             cost_estimate=pl.CostEstimate(
                 flops=2 * ng * T * T * T,

@@ -116,7 +116,7 @@ def _shard_plan(layout: SolverLayout, ndev: int, levels=None):
         levels = layout.levels
     tabs = _shard_tables(layout, ndev, levels)
     plan = []
-    for tag, item in group_plan(levels):
+    for tag, item in group_plan(levels, T=layout.T):
         if tag == "unroll":
             plan.append(("unroll", tabs[item]))
         else:

@@ -534,6 +534,7 @@ class Pastix:
                 self.layout, max_m=min(1 << 15, m_cap)
             )
         self._packed_plan = None
+        self._pool_sharding = None
         packed_on = cfg.packed_update
         if packed_on is None:  # auto: see config.packed_update note
             import jax as _jx
@@ -570,6 +571,16 @@ class Pastix:
                 build_sharded_solve,
             )
 
+            use_owner = (
+                cfg.factorization == Factorization.LLT
+                and not use_subtree
+                and self._hermitian
+                and self._tp_axis is not None
+                and not np.issubdtype(
+                    np.dtype(cfg.compute_dtype), np.complexfloating
+                )
+                and cfg.shard_pool is not False
+            )
             if cfg.factorization == Factorization.LLT and use_subtree:
                 # proportional subtree mapping (reference distribPart/cand):
                 # device-local subtree phases need no collectives at all
@@ -577,6 +588,29 @@ class Pastix:
 
                 self._fact_fn = build_subtree_factorize_llt(
                     self.layout, self._mesh, tp_axis=self._tp_axis,
+                )
+            elif use_owner:
+                # owner-computes over a SHARDED pool: per-device memory
+                # ~ pool/ndev + halo (parallel/owner.py) — the local
+                # SolverMatrix of the reference's solverMatrixGen
+                from pastix_tpu.parallel.owner import (
+                    build_owner_factorize_llt,
+                    build_owner_solve_llt,
+                    build_pool_sharding,
+                )
+
+                ndev_tp = self._mesh.shape[self._tp_axis]
+                self._pool_sharding = build_pool_sharding(
+                    self.layout, ndev_tp, dense_tail=self._dense_tail
+                )
+                self._fact_fn = build_owner_factorize_llt(
+                    self.layout, self._pool_sharding, self._mesh,
+                    tp_axis=self._tp_axis, dense_tail=self._dense_tail,
+                    update_dtype=upd,
+                )
+                self._solve_fn = build_owner_solve_llt(
+                    self.layout, self._pool_sharding, self._mesh,
+                    tp_axis=self._tp_axis, dense_tail=self._dense_tail,
                 )
             elif cfg.factorization == Factorization.LLT:
                 self._fact_fn = build_sharded_factorize_llt(
@@ -593,11 +627,12 @@ class Pastix:
                     self.layout, self._mesh, tp_axis=self._tp_axis,
                     update_dtype=upd,
                 )
-            self._solve_fn = build_sharded_solve(
-                self.layout, self._mesh, kind=cfg.factorization,
-                dp_axis=self._dp_axis, dense_tail=self._dense_tail,
-                hermitian=self._hermitian,
-            )
+            if self._pool_sharding is None:
+                self._solve_fn = build_sharded_solve(
+                    self.layout, self._mesh, kind=cfg.factorization,
+                    dp_axis=self._dp_axis, dense_tail=self._dense_tail,
+                    hermitian=self._hermitian,
+                )
         else:
             self._fact_fn = build_factorize_fn(
                 self.layout, cfg.factorization, update_dtype=upd,
@@ -629,6 +664,10 @@ class Pastix:
             self._mesh is not None
             and cfg.device_refine
             and cfg.refinement != RefinementMethod.NONE
+            # the fused sharded refine solves with a REPLICATED pool; the
+            # owner-computes path refines on the host through the sharded
+            # solve instead
+            and self._pool_sharding is None
         ):
             # multi-device: fused solve + Richardson with a tp-sharded SpMV
             # (one psum per residual); the host fp64 loop finishes the
@@ -718,6 +757,8 @@ class Pastix:
         dtype = np.dtype(cfg.compute_dtype).type
         if self._ooc_plan is not None:
             return self._factorize_streamed(dtype, t0)
+        if self._pool_sharding is not None:
+            return self._factorize_owner(dtype, t0)
         self.factors = numeric_factorize(
             self.layout,
             self._A_perm,
@@ -784,11 +825,77 @@ class Pastix:
         self.report.fact_gflops = self.report.fact_flops / max(
             self.report.fact_time, 1e-12
         ) / 1e9
+        if os.environ.get("PASTIX_MEASURED_PLAN", "1") != "0":
+            try:
+                # free once the schedule calibration ran (disk-cached);
+                # the blend-simulator analog: predicted vs measured
+                from pastix_tpu.perf import predict_fact_time
+
+                self.report.predicted_fact_time = predict_fact_time(
+                    self.layout
+                )
+            except Exception:
+                pass
         if cfg.verbosity >= Verbosity.NO:
+            pred = (
+                f", predicted {self.report.predicted_fact_time:.3f}s"
+                if self.report.predicted_fact_time
+                else ""
+            )
             print(
                 f"[pastix-tpu] numfact: {self.report.fact_time:.3f}s "
                 f"({self.report.fact_gflops:.2f} GFLOP/s useful, "
-                f"pivots clamped: {self.report.static_pivots})"
+                f"pivots clamped: {self.report.static_pivots}{pred})"
+            )
+        return self.factors
+
+    def _factorize_owner(self, dtype, t0) -> Factors:
+        """Owner-computes numeric phase: the pool is born sharded (each
+        device receives only its ~npool/ndev tiles) and stays sharded
+        through factorization and solve (parallel/owner.py)."""
+        import jax
+        import jax.numpy as jnp
+
+        from pastix_tpu.parallel.owner import shard_pool_device
+
+        cfg = self.config
+        host_pool, _ = coefinit(self.layout, self._A_perm, dtype=dtype)
+        psh = shard_pool_device(
+            self._pool_sharding, host_pool, self._mesh,
+            tp_axis=self._tp_axis,
+        )
+        del host_pool
+        pool = self._fact_fn(psh)
+        jax.block_until_ready(pool)
+        sh = self._pool_sharding
+        diag_of_col = self.layout.lookup(
+            np.arange(self.layout.nbc), np.arange(self.layout.nbc)
+        )
+        dvals = jnp.diagonal(
+            pool[sh.owner[diag_of_col], sh.loc[diag_of_col]],
+            axis1=-2, axis2=-1,
+        )
+        if bool(jnp.isnan(dvals).any() | jnp.isinf(dvals).any()):
+            raise FloatingPointError(
+                "LL^T factorization broke down (NaN/Inf pivot): the matrix "
+                "is not positive definite. Use Factorization.LDLT (static "
+                "pivoting) or LU for indefinite/unsymmetric systems."
+            )
+        self.factors = Factors(
+            cfg.factorization, self.layout, pool, None, None, 0
+        )
+        self._a_coo_dev = None
+        self.report.fact_time = time.perf_counter() - t0
+        self._trace_phase("numfact", t0)
+        self.report.static_pivots = 0
+        self.report.fact_gflops = self.report.fact_flops / max(
+            self.report.fact_time, 1e-12
+        ) / 1e9
+        if cfg.verbosity >= Verbosity.NO:
+            print(
+                f"[pastix-tpu] numfact(owner): {self.report.fact_time:.3f}s "
+                f"({self.report.fact_gflops:.2f} GFLOP/s useful, pool "
+                f"sharded {sh.ndev} x {sh.nloc} tiles)"
             )
         return self.factors
 

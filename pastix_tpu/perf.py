@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import json
+import os
 import time
 
 import numpy as np
@@ -79,6 +81,96 @@ def measure_kernels(T: int, batch: int, dtype_str: str = "float32"):
         batch * 2.0 * float(T) ** 3,
     )
     return out
+
+
+_DISK_CACHE = os.path.join(
+    os.path.expanduser(os.environ.get("PASTIX_PERF_CACHE_DIR", "~/.cache")),
+    "pastix_tpu_perf.json",
+)
+
+
+def _load_disk() -> dict:
+    try:
+        with open(_DISK_CACHE) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_disk(cache: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(_DISK_CACHE), exist_ok=True)
+        with open(_DISK_CACHE, "w") as f:
+            json.dump(cache, f)
+    except OSError:
+        pass
+
+
+def calibrate(T: int, dtype_str: str = "float32", force: bool = False) -> dict:
+    """Two-point calibration of the task-body kernels on the CURRENT
+    backend: per-call overhead + per-item marginal seconds, disk-cached
+    per (backend, T, dtype).  This is the measured perf.h: one
+    calibration per machine/shape, consumed by the schedule (below) and
+    the predicted-vs-measured report."""
+    import jax
+
+    key = f"{jax.default_backend()}:{T}:{dtype_str}"
+    cache = _load_disk()
+    if not force and key in cache:
+        return cache[key]
+    # big tiles on the CPU fallback: keep the calibration batch small —
+    # the serial potrf expander's HBM-equivalent traffic scales with
+    # batch * T^2 * T steps and would take tens of seconds at 4096x128^2
+    lo, hi = 256, (1024 if T >= 128 else 4096)
+    mlo = measure_kernels(T, lo, dtype_str)
+    mhi = measure_kernels(T, hi, dtype_str)
+    out = {}
+    for name in ("potrf", "trsm", "gemm"):
+        marg = (mhi[name].seconds - mlo[name].seconds) / (hi - lo)
+        marg = max(marg, 1e-12)
+        over = max(mlo[name].seconds - lo * marg, 0.0)
+        out[name] = {"overhead_s": over, "marginal_s": marg}
+    cache[key] = out
+    _save_disk(cache)
+    return out
+
+
+def calibrated_thresholds(T: int, dtype_str: str = "float32",
+                          waste_factor: float = 4.0) -> dict:
+    """Unroll-vs-scan thresholds from the calibration.
+
+    A level is worth its own exact-shape unrolled batch when its padded
+    scan waste would cost more device time than ``waste_factor`` per-call
+    overheads; below that, the fixed per-level cost dominates and scanning
+    (bounded program size) is free.  Clamped so a pathological calibration
+    cannot explode compile time (low floor) or program size (high cap)."""
+    cal = calibrate(T, dtype_str)
+    g, p = cal["gemm"], cal["potrf"]
+    unroll_gemm = int(
+        np.clip(waste_factor * g["overhead_s"] / g["marginal_s"], 512, 8192)
+    )
+    unroll_diag = int(
+        np.clip(waste_factor * p["overhead_s"] / p["marginal_s"], 128, 2048)
+    )
+    return {"unroll_gemm": unroll_gemm, "unroll_diag": unroll_diag}
+
+
+def predict_fact_time(layout, dtype_str: str = "float32") -> float:
+    """Linear-model factorization wall-time prediction from the cached
+    calibration (the blend simulator analog): sum over levels of
+    overhead + count * marginal per task-body kernel."""
+    cal = calibrate(layout.T, dtype_str)
+    total = 0.0
+    for lv in layout.levels:
+        for name, count in (
+            ("potrf", lv.diag.size),
+            ("trsm", lv.trsm_panel.size),
+            ("gemm", lv.gemm_a.size),
+        ):
+            if count:
+                c = cal[name]
+                total += c["overhead_s"] + count * c["marginal_s"]
+    return total
 
 
 def estimate_fact_time(layout, dtype_str: str = "float32") -> float:

@@ -300,7 +300,9 @@ def solve(factors: Factors, b_perm: np.ndarray, solve_fn=None) -> np.ndarray:
     """Host driver: solve for (n,R) permuted RHS, returns (n,R)."""
     layout = factors.layout
     fn = solve_fn or build_solve_fn(layout, factors.kind)
-    bb = jnp.asarray(rhs_to_blocks(layout, b_perm, dtype=np.asarray(factors.pool).dtype))
+    # .dtype, not np.asarray(...).dtype: the pool may be sharded across
+    # devices (owner-computes path) and must not be gathered to host here
+    bb = jnp.asarray(rhs_to_blocks(layout, b_perm, dtype=factors.pool.dtype))
     if factors.kind == Factorization.LLT:
         xb = fn(factors.pool, bb)
     elif factors.kind in (Factorization.LDLT, Factorization.LDLH):
