@@ -72,6 +72,38 @@ def elasticity_3d(nx: int, ny: int | None = None, nz: int | None = None, dtype=n
     return SparseMatrix.from_scipy(A, symmetric_storage=True)
 
 
+def convection_diffusion_3d(
+    nx: int, ny: int | None = None, nz: int | None = None,
+    peclet: float = 20.0, dtype=np.float64,
+) -> SparseMatrix:
+    """3D convection-diffusion, central differences: -lap(u) + v.grad(u).
+
+    Nonsymmetric VALUES on the symmetric 7-point pattern — the standard
+    CFD-class test for LU with static pivoting (BASELINE config 4 names
+    atmosmodd-class matrices; this is the generated stand-in).  ``peclet``
+    sets the convection strength per cell (v = peclet/2 on each axis)."""
+    ny = ny or nx
+    nz = nz or nx
+
+    def TD(m, c):
+        # 1D -u'' + c u' with central differences: sub = -1 - c/2,
+        # diag = 2, super = -1 + c/2
+        return sp.diags(
+            [np.full(m - 1, -1.0 - c / 2), np.full(m, 2.0),
+             np.full(m - 1, -1.0 + c / 2)],
+            [-1, 0, 1],
+        )
+
+    c = peclet / max(nx, 1)
+    Ix, Iy, Iz = sp.eye(nx), sp.eye(ny), sp.eye(nz)
+    A = (
+        sp.kron(Iz, sp.kron(Iy, TD(nx, c)))
+        + sp.kron(Iz, sp.kron(TD(ny, c), Ix))
+        + sp.kron(TD(nz, c), sp.kron(Iy, Ix))
+    )
+    return SparseMatrix.from_scipy(A.astype(dtype).tocsc())
+
+
 def random_spd(n: int, density: float = 0.01, seed: int = 0, dtype=np.float64) -> SparseMatrix:
     """Random sparse SPD matrix (diagonally dominant) for property tests."""
     rng = np.random.default_rng(seed)

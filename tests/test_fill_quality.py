@@ -65,3 +65,23 @@ def test_amd_matches_scipy_class():
     o.check()
     ratio = _nnz_l(A, o) / _nnz_l_scipy(A)
     assert ratio <= 1.1, f"AMD fill {ratio:.2f}x vs scipy MMD"
+
+
+def test_nd_fill_at_scale_irregular():
+    """Ordering quality at BASELINE-rung-3 scale (0.3M-dof irregular FEM,
+    dof_nbr=3): the multilevel ND must BEAT minimum-degree on 3D meshes
+    (the reference uses Scotch ND for exactly this reason).  scipy-splu
+    is too expensive at this size, so the in-house AMD (itself gated at
+    scipy-MMD quality above) is the baseline.  VERDICT r2 next #4."""
+    A = elasticity_3d(47)  # n = 311,469
+    pat = A.pattern_sym_scipy()
+    o_nd = compute_ordering(pat, PastixConfig())
+    o_nd.check()
+    o_amd = compute_ordering(
+        pat, PastixConfig(ordering=OrderingMethod.AMD)
+    )
+    nd_fill = _nnz_l(A, o_nd)
+    amd_fill = _nnz_l(A, o_amd)
+    assert nd_fill < amd_fill, (
+        f"ND fill {nd_fill:.3e} not better than AMD {amd_fill:.3e}"
+    )

@@ -62,3 +62,26 @@ def test_permuted():
     Ap = A.permuted(perm)
     S, Sp = A.to_scipy().toarray(), Ap.to_scipy().toarray()
     assert np.allclose(Sp[np.ix_(perm, perm)], S)
+
+
+def test_convection_diffusion_unsymmetric():
+    """Nonsymmetric values on the symmetric 7-point pattern (BASELINE
+    rung-4 generated stand-in for CFD-class LU matrices)."""
+    from pastix_tpu.generators import convection_diffusion_3d
+
+    A = convection_diffusion_3d(6, peclet=20.0).to_scipy()
+    assert (A != A.T).nnz > 0  # genuinely nonsymmetric values
+    assert ((A != 0).astype(int) != (A.T != 0).astype(int)).nnz == 0  # pattern symmetric
+    # solvable by our LU end-to-end
+    import numpy as np
+
+    from pastix_tpu import Pastix, PastixConfig
+    from pastix_tpu.config import Factorization
+    from pastix_tpu.generators import convection_diffusion_3d as cd
+
+    Am = cd(8)
+    b = Am.to_scipy() @ np.ones(Am.n)
+    x = Pastix(
+        Am, PastixConfig(tile_size=8, factorization=Factorization.LU)
+    ).solve(b)
+    assert np.abs(x - 1).max() < 1e-8
