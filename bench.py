@@ -216,6 +216,10 @@ def bench():
         [sys.executable, "-c", splu_code],
         stdout=_sp.PIPE, stderr=_sp.DEVNULL, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
+        env=dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1"),
+        # lowest priority: the baseline must not steal host CPU from the
+        # analysis phases running concurrently (measured 3x slowdown)
+        preexec_fn=lambda: os.nice(19),
     )
 
     A = poisson_3d(nx)

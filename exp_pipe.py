@@ -76,3 +76,11 @@ for upd, tag in ((jnp.bfloat16, "bf16"), (None, "fp32-high")):
     sched = build_pipeline_schedule(ga, gb, gd)
     timeit("blockspec (Mosaic pipe)",
            lambda p, u=upd: gemm_scatter_blockspec(p, sched, update_dtype=u))
+
+for G in (2, 4, 8):
+    print(f"--- pipelined group G={G} ---", flush=True)
+    schedG = build_pipeline_schedule(ga, gb, gd, group=G)
+    for upd, tag in ((jnp.bfloat16, "bf16"), (None, "fp32-high")):
+        timeit(f"pipelined G={G} {tag}",
+               lambda p, u=upd, s=schedG: gemm_scatter_pipelined(
+                   p, s, update_dtype=u))

@@ -225,14 +225,17 @@ def gemm_scatter_fused(
 # Reference hot loop: the E2 task of sopalin_smp
 # (src/sopalin/src/sopalin3d.c) — SURVEY.md section 2 row 9.
 
-_F_FIRST, _F_LAST, _F_WRWAIT, _F_PAR = 1, 2, 4, 8
+_F_FIRST, _F_LAST, _F_WRWAIT, _F_PAR, _F_VALID = 1, 2, 4, 8, 16
 
 
-def build_pipeline_schedule(ga, gb, gd, gk=None, chunk: int = 8192):
+def build_pipeline_schedule(ga, gb, gd, gk=None, chunk: int = 8192,
+                            group: int = 1):
     """Sort triples by dst and emit per-chunk static schedules.
 
     Returns a list of dicts with int32 arrays (ga, gb, gd, flags, rd) of
     one chunk's length plus the 2-element end-drain tables (endw, endt).
+    ``group``: pairs per grid step in the kernel — chunks are padded to a
+    multiple with invalid pairs (flag bit _F_VALID clear, predicated off).
     """
     order = np.argsort(gd, kind="stable")
     ga = np.asarray(ga, np.int32)[order]
@@ -279,6 +282,7 @@ def build_pipeline_schedule(ga, gb, gd, gk=None, chunk: int = 8192):
             + last * _F_LAST
             + wr_wait * _F_WRWAIT
             + par * _F_PAR
+            + _F_VALID
         ).astype(np.int32)
         # end drain: writes of the last two segments are never waited by a
         # later read — wait them (per acc slot) at the final grid step
@@ -296,6 +300,21 @@ def build_pipeline_schedule(ga, gb, gd, gk=None, chunk: int = 8192):
         }
         if gk is not None:
             t["gk"] = gk[lo:hi]
+        gpad = (-n) % group
+        if gpad:
+            # invalid tail pairs: safe reads (last real tiles), no flags
+            # set except the closed segment's parity, predicated off
+            for k in ("ga", "gb", "gd", "gk"):
+                if k in t:
+                    t[k] = np.concatenate(
+                        [t[k], np.repeat(t[k][-1:], gpad)]
+                    )
+            t["flags"] = np.concatenate([
+                t["flags"],
+                np.full(gpad, int(par[-1]) * _F_PAR, np.int32),
+            ])
+            t["rd"] = np.concatenate([t["rd"], np.full(gpad, -1, np.int32)])
+        t["group"] = group
         # compact operand tables for the BlockSpec variant: a/b are
         # gathered into per-chunk dense arrays OUTSIDE the kernel so the
         # pool is passed exactly once (aliased dst) — passing it thrice
@@ -308,8 +327,14 @@ def build_pipeline_schedule(ga, gb, gd, gk=None, chunk: int = 8192):
     return out
 
 
-def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype):
+def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype, G=1):
+    """ng = padded pair count (multiple of G); grid = ng // G groups.
+
+    G > 1 amortizes the per-grid-step fixed cost (flag decode, DMA issue
+    bookkeeping) over G pairs; invalid tail pads are predicated off via
+    the _F_VALID flag bit."""
     cdt = update_dtype or out_dtype
+    ngrp = ng // G
 
     def kernel(*args):
         if scaled:
@@ -329,90 +354,102 @@ def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype):
         if not cross:
             src = out
         i = pl.program_id(0)
-        f = flags[i]
-        par = (f // _F_PAR) % 2
 
-        def a_cp(step, sl):
+        def a_cp(grp, u, sl):
             return pltpu.make_async_copy(
-                out.at[ga[step]], a_buf.at[sl], asem.at[sl]
+                out.at[ga[grp * G + u]], a_buf.at[sl, u], asem.at[sl, u]
             )
 
-        def b_cp(step, sl):
+        def b_cp(grp, u, sl):
             return pltpu.make_async_copy(
-                src.at[gb[step]], b_buf.at[sl], bsem.at[sl]
+                src.at[gb[grp * G + u]], b_buf.at[sl, u], bsem.at[sl, u]
             )
 
         @pl.when(i == 0)
         def _():
-            a_cp(0, 0).start()
-            b_cp(0, 0).start()
+            for u in range(G):
+                a_cp(0, u, 0).start()
+                b_cp(0, u, 0).start()
             # warm-up read of segment 0's dst into its parity slot (0)
             pltpu.make_async_copy(out.at[gd[0]], acc.at[0], rsem.at[0]).start()
 
-        @pl.when(i + 1 < ng)
+        @pl.when(i + 1 < ngrp)
         def _():
             sl = (i + 1) % 2
-            a_cp(i + 1, sl).start()
-            b_cp(i + 1, sl).start()
-
-        @pl.when(f % 2 == 1)  # first step of a segment
-        def _():
-            # complete this segment's dst read
-            pltpu.make_async_copy(
-                out.at[gd[i]], acc.at[par], rsem.at[par]
-            ).wait()
-
-            @pl.when(rd[i] >= 0)
-            def _():
-                q = 1 - par
-
-                @pl.when((f // _F_WRWAIT) % 2 == 1)
-                def _():
-                    # segment s-1's write still owns slot q; gd[i-1] is its
-                    # dst (the step before a first step closed segment s-1)
-                    pltpu.make_async_copy(
-                        acc.at[q], out.at[gd[i - 1]], wsem.at[q]
-                    ).wait()
-
-                pltpu.make_async_copy(
-                    out.at[rd[i]], acc.at[q], rsem.at[q]
-                ).start()
+            for u in range(G):
+                a_cp(i + 1, u, sl).start()
+                b_cp(i + 1, u, sl).start()
 
         sl = i % 2
-        a_cp(i, sl).wait()
-        b_cp(i, sl).wait()
-        a = a_buf[sl]
-        if scaled:
-            a = a * d_ref[gk[i]][None, :]
-        b = b_buf[sl]
-        dn = (((1,), (1,)), ((), ()))
-        if update_dtype is not None:
-            contrib = jax.lax.dot_general(
-                a.astype(cdt), b.astype(cdt), dn,
-                preferred_element_type=jnp.float32,
-            )
-        else:
-            # ~Precision.HIGH from three bf16 passes (Mosaic's HIGHEST
-            # lowering wedges the remote compiler — see round-2 notes)
-            a_hi = a.astype(jnp.bfloat16)
-            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            b_hi = b.astype(jnp.bfloat16)
-            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            f32 = jnp.float32
-            contrib = (
-                jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=f32)
-                + jax.lax.dot_general(a_hi, b_lo, dn, preferred_element_type=f32)
-                + jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=f32)
-            )
-        acc[par] = acc[par] - contrib.astype(out_dtype)
+        for u in range(G):
+            j = i * G + u
+            f = flags[j]
+            par = (f // _F_PAR) % 2
 
-        @pl.when((f // _F_LAST) % 2 == 1)  # last step of a segment
-        def _():
-            pltpu.make_async_copy(
-                acc.at[par], out.at[gd[i]], wsem.at[par]
-            ).start()
+            @pl.when(f % 2 == 1)  # first step of a segment
+            def _(j=j, f=f, par=par):
+                # complete this segment's dst read
+                pltpu.make_async_copy(
+                    out.at[gd[j]], acc.at[par], rsem.at[par]
+                ).wait()
 
-        @pl.when(i == ng - 1)
+                @pl.when(rd[j] >= 0)
+                def _():
+                    q = 1 - par
+
+                    @pl.when((f // _F_WRWAIT) % 2 == 1)
+                    def _():
+                        # segment s-1's write still owns slot q; gd[j-1]
+                        # is its dst (the step before a first step closed
+                        # segment s-1)
+                        pltpu.make_async_copy(
+                            acc.at[q], out.at[gd[j - 1]], wsem.at[q]
+                        ).wait()
+
+                    pltpu.make_async_copy(
+                        out.at[rd[j]], acc.at[q], rsem.at[q]
+                    ).start()
+
+            a_cp(i, u, sl).wait()
+            b_cp(i, u, sl).wait()
+
+            @pl.when((f // _F_VALID) % 2 == 1)
+            def _(j=j, u=u, par=par):
+                a = a_buf[sl, u]
+                if scaled:
+                    a = a * d_ref[gk[j]][None, :]
+                b = b_buf[sl, u]
+                dn = (((1,), (1,)), ((), ()))
+                if update_dtype is not None:
+                    contrib = jax.lax.dot_general(
+                        a.astype(cdt), b.astype(cdt), dn,
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    # ~Precision.HIGH from three bf16 passes (Mosaic's
+                    # HIGHEST lowering wedges the remote compiler)
+                    a_hi = a.astype(jnp.bfloat16)
+                    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    b_hi = b.astype(jnp.bfloat16)
+                    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    f32 = jnp.float32
+                    contrib = (
+                        jax.lax.dot_general(a_hi, b_hi, dn,
+                                            preferred_element_type=f32)
+                        + jax.lax.dot_general(a_hi, b_lo, dn,
+                                              preferred_element_type=f32)
+                        + jax.lax.dot_general(a_lo, b_hi, dn,
+                                              preferred_element_type=f32)
+                    )
+                acc[par] = acc[par] - contrib.astype(out_dtype)
+
+            @pl.when((f // _F_LAST) % 2 == 1)  # last step of a segment
+            def _(j=j, par=par):
+                pltpu.make_async_copy(
+                    acc.at[par], out.at[gd[j]], wsem.at[par]
+                ).start()
+
+        @pl.when(i == ngrp - 1)
         def _():
             for p in range(2):
                 @pl.when(endw[p] == 1)
@@ -450,8 +487,9 @@ def gemm_scatter_pipelined(
         ng = int(t["ga"].shape[0])
         if ng == 0:
             continue
+        G = int(t.get("group", 1))
         kernel = _mk_pipelined_kernel(ng, cross, scaled, update_dtype,
-                                      out_dtype)
+                                      out_dtype, G=G)
         scalars = [
             jnp.asarray(t["ga"]), jnp.asarray(t["gb"]),
             jnp.asarray(t["gd"]), jnp.asarray(t["flags"]),
@@ -473,15 +511,15 @@ def gemm_scatter_pipelined(
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=nsc,
-            grid=(ng,),
+            grid=(ng // G,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((2, T, T), out_dtype),  # a slots
-                pltpu.VMEM((2, T, T), out_dtype),  # b slots
+                pltpu.VMEM((2, G, T, T), out_dtype),  # a slots
+                pltpu.VMEM((2, G, T, T), out_dtype),  # b slots
                 pltpu.VMEM((2, T, T), out_dtype),  # dst accumulators
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2, G)),
+                pltpu.SemaphoreType.DMA((2, G)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],

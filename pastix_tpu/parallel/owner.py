@@ -434,16 +434,147 @@ def build_owner_factorize_llt(
     return jax.jit(fn, donate_argnums=(0,))
 
 
+def build_owner_factorize_ldlt(
+    layout: SolverLayout, sh: PoolSharding, mesh: Mesh, tp_axis: str = "tp",
+    hermitian: bool = False, update_dtype=None,
+):
+    """Jitted owner-computes LDL^T/LDL^H over the sharded pool.
+
+    fn(pool_sh, eps) -> (pool_sh, d, npiv); per level the owned pivots
+    are merged into the replicated (nbc, T) d with one small psum before
+    the TRSM/E2 stages need them."""
+    from pastix_tpu.numeric.factorize import _sym_lower
+    from pastix_tpu.numeric.grouping import group_plan
+
+    levels = layout.levels
+    T, nloc, nbc = layout.T, sh.nloc, layout.nbc
+    tabs = [_owner_level_tables(lv, layout, sh) for lv in levels]
+    # per-pair source block column (for the D scaling), round-robin like ga
+    gks = []
+    for lv in levels:
+        ng = lv.gemm_a.size
+        per = -(-max(ng, 1) // sh.ndev)
+        pad = per * sh.ndev - ng
+        gk = np.concatenate(
+            [np.asarray(lv.gemm_k), np.full(pad, nbc, np.int64)]
+        ) if ng else np.full(per * sh.ndev, nbc, np.int64)
+        gks.append(np.asarray(gk.reshape(sh.ndev, per), np.int32))
+    plan = []
+    for tag, item in group_plan(levels, T=layout.T):
+        if tag == "unroll":
+            t = dict(tabs[item])
+            t["gk"] = gks[item]
+            plan.append(("unroll", t))
+        else:
+            st = _stack_owner_tables([tabs[i] for i in item], nloc, nbc)
+            mp = max(gks[i].shape[1] for i in item)
+            stk = np.full((len(item), sh.ndev, mp), nbc, np.int32)
+            for k, i in enumerate(item):
+                stk[k, :, : gks[i].shape[1]] = gks[i]
+            st["gk"] = stk
+            plan.append(("scan", st))
+
+    def level(carry, t, me, nx, ntouch):
+        p, d_arr, npiv, eps = carry
+        diag_me = jnp.asarray(t["diag"])[me]
+        cols_me = jnp.asarray(t["cols"])[me]
+        L, d, dinv, piv = K.ldlt_inv_batch(
+            _sym_lower(p[diag_me], hermitian), eps, hermitian
+        )
+        p = p.at[diag_me].set(L)
+        valid = cols_me < nbc
+        npiv = npiv + jnp.where(valid, piv, 0).sum(dtype=jnp.int32)
+        # merge the level's pivots into the replicated d (owners only)
+        dbuf = jnp.zeros((nbc + 1, T), d_arr.dtype)
+        dbuf = dbuf.at[cols_me].add(
+            d - d_arr[jnp.minimum(cols_me, nbc - 1)]
+        )
+        d_arr = d_arr + lax.psum(dbuf, tp_axis)[:nbc]
+        if t["tp"].shape[-1]:
+            tp_me = jnp.asarray(t["tp"])[me]
+            pk_me = jnp.asarray(t["tcpos"])[me]
+            tc_me = jnp.asarray(t["tc"])[me]
+            md = diag_me.shape[0]
+            inv_p = dinv[jnp.minimum(pk_me, md - 1)]
+            if hermitian and jnp.iscomplexobj(p):
+                inv_p = jnp.conj(inv_p)
+            panels = jnp.einsum(
+                "bij,bkj->bik", p[tp_me], inv_p,
+                preferred_element_type=p.dtype,
+                precision=K.matmul_precision(),
+            ) / d_arr[jnp.minimum(tc_me, nbc - 1)][:, None, :]
+            p = p.at[tp_me].set(panels)
+        if nx:
+            X = jnp.zeros((nx + 1, T, T), p.dtype)
+            xp_me = jnp.asarray(t["xpos"])[me]
+            xl_me = jnp.asarray(t["xloc"])[me]
+            X = X.at[xp_me].set(p[xl_me])
+            X = lax.psum(X, tp_axis)
+            ga_me = jnp.asarray(t["ga"])[me]
+            gb_me = jnp.asarray(t["gb"])[me]
+            gp_me = jnp.asarray(t["gp"])[me]
+            gk_me = jnp.asarray(t["gk"])[me]
+            a = X[ga_me] * d_arr[jnp.minimum(gk_me, nbc - 1)][:, None, :]
+            b = X[gb_me]
+            if hermitian and jnp.iscomplexobj(b):
+                b = jnp.conj(b)
+            if update_dtype is not None:
+                a, b = a.astype(update_dtype), b.astype(update_dtype)
+            contrib = jnp.einsum(
+                "bij,bkj->bik", a, b,
+                preferred_element_type=p.dtype,
+                precision=K.matmul_precision(),
+            ).astype(p.dtype)
+            acc = jnp.zeros((ntouch + 1, T, T), p.dtype)
+            acc = acc.at[gp_me].add(contrib)
+            acc = lax.psum(acc, tp_axis)
+            ap_me = jnp.asarray(t["tpos"])[me]
+            al_me = jnp.asarray(t["tloc"])[me]
+            p = p.at[al_me].add(-acc[ap_me])
+        return (p, d_arr, npiv, eps)
+
+    def fact_local(psh, eps):
+        p = psh[0]
+        me = lax.axis_index(tp_axis)
+        d_arr = jnp.ones((nbc, T), p.dtype)
+        carry = (p, d_arr, jnp.int32(0), eps)
+        for tag, t in plan:
+            if tag == "unroll":
+                carry = level(carry, t, me, t["nx"], t["ntouch"])
+            else:
+                nx, nt = t["nx"], t["ntouch"]
+                xs = {k: jnp.asarray(v) for k, v in t.items()
+                      if k not in ("nx", "ntouch")}
+
+                def body(c, x):
+                    return level(c, x, me, nx, nt), None
+
+                carry, _ = lax.scan(body, carry, xs)
+        p, d_arr, npiv, _ = carry
+        return p[None], d_arr, npiv
+
+    fn = jax.shard_map(
+        fact_local,
+        mesh=mesh,
+        in_specs=(P(tp_axis), P()),
+        out_specs=(P(tp_axis), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0,))
+
+
 def build_owner_solve_llt(
     layout: SolverLayout, sh: PoolSharding, mesh: Mesh, tp_axis: str = "tp",
-    dense_tail=None,
+    dense_tail=None, unit: bool = False, with_d: bool = False,
 ):
-    """Jitted owner-computes LL^T solve over the sharded pool: per level,
+    """Jitted owner-computes solve over the sharded pool: per level,
     owners solve their diagonal blocks and compute their panels'
     contributions; one psum of the (nbc, T, R) delta merges the level
     (forward and backward sweeps alike).
 
-    fn(pool_sh, b) -> x with b replicated (nbc, T, R)."""
+    LL^T: fn(pool_sh, b) -> x.  With ``unit``/``with_d`` (the LDL^T
+    factor): fn(pool_sh, d, b) -> x — unit-diagonal sweeps with the D
+    scaling applied between them.  b replicated (nbc, T, R)."""
     from pastix_tpu.numeric.grouping import group_plan
 
     levels = dense_tail.levels_lo if dense_tail is not None else layout.levels
@@ -469,7 +600,7 @@ def build_owner_solve_llt(
         md = diag_me.shape[0]
         yc = y[jnp.minimum(cols_me, nbc - 1)]
         sol = lax.linalg.triangular_solve(
-            p[diag_me], yc, left_side=True, lower=True
+            p[diag_me], yc, left_side=True, lower=True, unit_diagonal=unit,
         )
         buf = jnp.zeros((nbc + 1,) + y.shape[1:], y.dtype)
         buf = buf.at[cols_me].add(sol - yc)
@@ -506,12 +637,17 @@ def build_owner_solve_llt(
             xc = xc + cacc[:md]
         sol = lax.linalg.triangular_solve(
             p[diag_me], xc, left_side=True, lower=True, transpose_a=True,
+            unit_diagonal=unit,
         )
         buf = jnp.zeros((nbc + 1,) + x.shape[1:], x.dtype)
         buf = buf.at[cols_me].add(sol - x[jnp.minimum(cols_me, nbc - 1)])
         return x + lax.psum(buf, tp_axis)[:nbc]
 
-    def solve_local(psh, b):
+    def solve_local(psh, *rest):
+        if with_d:
+            d_arr, b = rest
+        else:
+            (b,) = rest
         p = psh[0]
         me = lax.axis_index(tp_axis)
         y = b
@@ -524,6 +660,8 @@ def build_owner_solve_llt(
                 y, _ = lax.scan(
                     lambda c, x: (fwd_level(p, c, x, me), None), y, xs
                 )
+        if with_d:
+            y = y / d_arr[..., None]
         if dense_tail is not None:
             Ld = tail_gather(p)
             yt = y[s0:].reshape(tq * T, -1)
@@ -548,10 +686,11 @@ def build_owner_solve_llt(
                 )
         return y
 
+    nrest = 2 if with_d else 1
     fn = jax.shard_map(
         solve_local,
         mesh=mesh,
-        in_specs=(P(tp_axis), P()),
+        in_specs=(P(tp_axis),) + (P(),) * nrest,
         out_specs=P(),
         check_vma=False,
     )

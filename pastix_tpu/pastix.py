@@ -571,14 +571,21 @@ class Pastix:
                 build_sharded_solve,
             )
 
+            real_dtype = not np.issubdtype(
+                np.dtype(cfg.compute_dtype), np.complexfloating
+            )
             use_owner = (
                 cfg.factorization == Factorization.LLT
                 and not use_subtree
                 and self._hermitian
                 and self._tp_axis is not None
-                and not np.issubdtype(
-                    np.dtype(cfg.compute_dtype), np.complexfloating
-                )
+                and real_dtype
+                and cfg.shard_pool is not False
+            )
+            use_owner_ldlt = (
+                cfg.factorization == Factorization.LDLT
+                and self._tp_axis is not None
+                and real_dtype
                 and cfg.shard_pool is not False
             )
             if cfg.factorization == Factorization.LLT and use_subtree:
@@ -616,6 +623,26 @@ class Pastix:
                 self._fact_fn = build_sharded_factorize_llt(
                     self.layout, self._mesh, tp_axis=self._tp_axis,
                     dense_tail=self._dense_tail, update_dtype=upd,
+                )
+            elif use_owner_ldlt:
+                from pastix_tpu.parallel.owner import (
+                    build_owner_factorize_ldlt,
+                    build_owner_solve_llt,
+                    build_pool_sharding,
+                )
+
+                ndev_tp = self._mesh.shape[self._tp_axis]
+                self._pool_sharding = build_pool_sharding(
+                    self.layout, ndev_tp
+                )
+                self._fact_fn = build_owner_factorize_ldlt(
+                    self.layout, self._pool_sharding, self._mesh,
+                    tp_axis=self._tp_axis, hermitian=self._hermitian,
+                    update_dtype=upd,
+                )
+                self._solve_fn = build_owner_solve_llt(
+                    self.layout, self._pool_sharding, self._mesh,
+                    tp_axis=self._tp_axis, unit=True, with_d=True,
                 )
             elif cfg.factorization in (Factorization.LDLT, Factorization.LDLH):
                 self._fact_fn = build_sharded_factorize_ldlt(
@@ -865,9 +892,34 @@ class Pastix:
             tp_axis=self._tp_axis,
         )
         del host_pool
+        sh = self._pool_sharding
+        if cfg.factorization == Factorization.LDLT:
+            anorm = float(abs(self._A_perm).max()) if self._A_perm.nnz else 1.0
+            eps = jnp.asarray(
+                cfg.static_pivoting_threshold * anorm, dtype=dtype
+            )
+            pool, d, npiv = self._fact_fn(psh, eps)
+            jax.block_until_ready(pool)
+            self.factors = Factors(
+                cfg.factorization, self.layout, pool, None, d, int(npiv)
+            )
+            self._a_coo_dev = None
+            self.report.fact_time = time.perf_counter() - t0
+            self._trace_phase("numfact", t0)
+            self.report.static_pivots = int(npiv)
+            self.report.fact_gflops = self.report.fact_flops / max(
+                self.report.fact_time, 1e-12
+            ) / 1e9
+            if cfg.verbosity >= Verbosity.NO:
+                print(
+                    f"[pastix-tpu] numfact(owner): "
+                    f"{self.report.fact_time:.3f}s "
+                    f"({self.report.fact_gflops:.2f} GFLOP/s useful, pool "
+                    f"sharded {sh.ndev} x {sh.nloc} tiles)"
+                )
+            return self.factors
         pool = self._fact_fn(psh)
         jax.block_until_ready(pool)
-        sh = self._pool_sharding
         diag_of_col = self.layout.lookup(
             np.arange(self.layout.nbc), np.arange(self.layout.nbc)
         )

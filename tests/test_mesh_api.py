@@ -208,3 +208,26 @@ def test_mesh_50k_T32_end_to_end():
     X = solver.solve(B)
     res = np.linalg.norm(S @ X - B) / np.linalg.norm(B)
     assert res < 1e-9
+
+
+def test_mesh_owner_ldlt_sharded():
+    """LDL^T also runs owner-computes over the sharded pool (static
+    pivots merged per level with a small psum; d replicated)."""
+    A = poisson_3d(9)
+    S = A.to_scipy()
+    b = S @ np.arange(1, A.n + 1, dtype=float)
+    solver = Pastix(
+        A,
+        PastixConfig(
+            tile_size=8, factorization=Factorization.LDLT, mesh_shape=(8,)
+        ),
+    )
+    x = solver.solve(b)
+    assert solver._pool_sharding is not None
+    assert solver.factors.pool.shape[0] == 8
+    res = np.linalg.norm(S @ x - b) / np.linalg.norm(b)
+    assert res < 1e-9
+    x1 = Pastix(
+        A, PastixConfig(tile_size=8, factorization=Factorization.LDLT)
+    ).solve(b)
+    np.testing.assert_allclose(x, x1, rtol=1e-5, atol=1e-7)
