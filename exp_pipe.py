@@ -84,3 +84,11 @@ for G in (2, 4, 8):
         timeit(f"pipelined G={G} {tag}",
                lambda p, u=upd, s=schedG: gemm_scatter_pipelined(
                    p, s, update_dtype=u))
+
+print("--- ab_pack variants ---", flush=True)
+for G in (1, 2, 4):
+    schedG = build_pipeline_schedule(ga, gb, gd, group=G)
+    for upd, tag in ((jnp.bfloat16, "bf16"),):
+        timeit(f"ab_pack G={G} {tag}",
+               lambda p, u=upd, s=schedG: gemm_scatter_pipelined(
+                   p, s, update_dtype=u, ab_pack=True))

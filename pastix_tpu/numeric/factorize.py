@@ -221,13 +221,16 @@ def _unroll_tables(lv, use_pallas: bool = False):
     if use_pallas and lv.gemm_a.size:
         from pastix_tpu.numeric.pallas_kernels import build_pipeline_schedule
 
+        # G=2 pairs per grid step measured fastest on v5e (5.93 vs 5.07
+        # TF/s bf16 at G=1; G>=4 plateaus — exp_pipe.py round 3)
+        grp = int(_os_mod.environ.get("PASTIX_E2_GROUP", "2"))
         t["p_full"] = build_pipeline_schedule(
-            lv.gemm_a, lv.gemm_b, lv.gemm_d, gk=lv.gemm_k
+            lv.gemm_a, lv.gemm_b, lv.gemm_d, gk=lv.gemm_k, group=grp
         )
         nd = lv.gemm_nondiag
         if nd.any():
             t["p_nd"] = build_pipeline_schedule(
-                lv.gemm_a[nd], lv.gemm_b[nd], lv.gemm_d[nd]
+                lv.gemm_a[nd], lv.gemm_b[nd], lv.gemm_d[nd], group=grp
             )
     return t
 

@@ -327,7 +327,8 @@ def build_pipeline_schedule(ga, gb, gd, gk=None, chunk: int = 8192,
     return out
 
 
-def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype, G=1):
+def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype, G=1,
+                         ab=False):
     """ng = padded pair count (multiple of G); grid = ng // G groups.
 
     G > 1 amortizes the per-grid-step fixed cost (flag decode, DMA issue
@@ -344,32 +345,46 @@ def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype, G=1):
             ga, gb, gd, flags, rd, endw, endt = args[:7]
             refs = args[7:]
         refs = refs[1:]  # drop the input pool ref (aliased to out)
-        if cross:
+        if ab:
+            AB = refs[0]
+            refs = refs[1:]
+        elif cross:
             src = refs[0]
             refs = refs[1:]
         if scaled:
             d_ref = refs[0]
             refs = refs[1:]
         out, a_buf, b_buf, acc, asem, bsem, rsem, wsem = refs
-        if not cross:
+        if not cross and not ab:
             src = out
         i = pl.program_id(0)
 
-        def a_cp(grp, u, sl):
-            return pltpu.make_async_copy(
-                out.at[ga[grp * G + u]], a_buf.at[sl, u], asem.at[sl, u]
-            )
+        if ab:
+            # one descriptor fetches the contiguous (2, T, T) pair slab
+            def a_cp(grp, u, sl):
+                return pltpu.make_async_copy(
+                    AB.at[grp * G + u], a_buf.at[sl, u], asem.at[sl, u]
+                )
 
-        def b_cp(grp, u, sl):
-            return pltpu.make_async_copy(
-                src.at[gb[grp * G + u]], b_buf.at[sl, u], bsem.at[sl, u]
-            )
+            def b_cp(grp, u, sl):
+                return None
+        else:
+            def a_cp(grp, u, sl):
+                return pltpu.make_async_copy(
+                    out.at[ga[grp * G + u]], a_buf.at[sl, u], asem.at[sl, u]
+                )
+
+            def b_cp(grp, u, sl):
+                return pltpu.make_async_copy(
+                    src.at[gb[grp * G + u]], b_buf.at[sl, u], bsem.at[sl, u]
+                )
 
         @pl.when(i == 0)
         def _():
             for u in range(G):
                 a_cp(0, u, 0).start()
-                b_cp(0, u, 0).start()
+                if not ab:
+                    b_cp(0, u, 0).start()
             # warm-up read of segment 0's dst into its parity slot (0)
             pltpu.make_async_copy(out.at[gd[0]], acc.at[0], rsem.at[0]).start()
 
@@ -378,7 +393,8 @@ def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype, G=1):
             sl = (i + 1) % 2
             for u in range(G):
                 a_cp(i + 1, u, sl).start()
-                b_cp(i + 1, u, sl).start()
+                if not ab:
+                    b_cp(i + 1, u, sl).start()
 
         sl = i % 2
         for u in range(G):
@@ -411,14 +427,17 @@ def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype, G=1):
                     ).start()
 
             a_cp(i, u, sl).wait()
-            b_cp(i, u, sl).wait()
+            if not ab:
+                b_cp(i, u, sl).wait()
 
             @pl.when((f // _F_VALID) % 2 == 1)
             def _(j=j, u=u, par=par):
-                a = a_buf[sl, u]
+                if ab:
+                    a, b = a_buf[sl, u, 0], a_buf[sl, u, 1]
+                else:
+                    a, b = a_buf[sl, u], b_buf[sl, u]
                 if scaled:
                     a = a * d_ref[gk[j]][None, :]
-                b = b_buf[sl, u]
                 dn = (((1,), (1,)), ((), ()))
                 if update_dtype is not None:
                     contrib = jax.lax.dot_general(
@@ -468,6 +487,7 @@ def gemm_scatter_pipelined(
     src_pool=None,
     update_dtype=None,
     interpret=None,
+    ab_pack=False,
 ):
     """pool[gd] -= op(a) @ b^T via the pipelined fused kernel.
 
@@ -488,8 +508,9 @@ def gemm_scatter_pipelined(
         if ng == 0:
             continue
         G = int(t.get("group", 1))
-        kernel = _mk_pipelined_kernel(ng, cross, scaled, update_dtype,
-                                      out_dtype, G=G)
+        kernel = _mk_pipelined_kernel(ng, cross and not ab_pack, scaled,
+                                      update_dtype, out_dtype, G=G,
+                                      ab=ab_pack)
         scalars = [
             jnp.asarray(t["ga"]), jnp.asarray(t["gb"]),
             jnp.asarray(t["gd"]), jnp.asarray(t["flags"]),
@@ -502,21 +523,40 @@ def gemm_scatter_pipelined(
 
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         operands = [pool]
-        if cross:
+        if ab_pack:
+            # contiguous (ng, 2, T, T) pair slabs: ONE descriptor fetches
+            # both operands, and the kernel's reads become sequential —
+            # trades an extra XLA-gather pass for DMA-issue headroom
+            src = src_pool if src_pool is not None else pool
+            AB = jnp.stack(
+                [pool[jnp.asarray(t["ga"])], src[jnp.asarray(t["gb"])]],
+                axis=1,
+            )
+            in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+            operands.append(AB)
+        elif cross:
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             operands.append(src_pool)
         if scaled:
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             operands.append(d)
 
+        if ab_pack:
+            buf_shapes = [
+                pltpu.VMEM((2, G, 2, T, T), out_dtype),  # ab pair slots
+                pltpu.SMEM((1,), jnp.int32),  # unused b slot placeholder
+            ]
+        else:
+            buf_shapes = [
+                pltpu.VMEM((2, G, T, T), out_dtype),  # a slots
+                pltpu.VMEM((2, G, T, T), out_dtype),  # b slots
+            ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=nsc,
             grid=(ng // G,),
             in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((2, G, T, T), out_dtype),  # a slots
-                pltpu.VMEM((2, G, T, T), out_dtype),  # b slots
+            scratch_shapes=buf_shapes + [
                 pltpu.VMEM((2, T, T), out_dtype),  # dst accumulators
                 pltpu.SemaphoreType.DMA((2, G)),
                 pltpu.SemaphoreType.DMA((2, G)),
