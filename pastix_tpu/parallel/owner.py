@@ -108,9 +108,14 @@ def _pad2(rows: list, m: int, fill) -> np.ndarray:
     return out
 
 
-def _owner_level_tables(lv, layout: SolverLayout, sh: PoolSharding):
+def _owner_level_tables(lv, layout: SolverLayout, sh: PoolSharding,
+                        for_lu: bool = False):
     """Per-device tables for one level (all numpy, padded to per-level
-    maxima; pads follow the OOB conventions in the module docstring)."""
+    maxima; pads follow the OOB conventions in the module docstring).
+
+    ``for_lu`` adds the U-side fan-in tables: per-pair positions into the
+    off-diagonal touched set (gp_u) and each owner's apply lists
+    (tpos_u/tloc_u)."""
     ndev, nloc, nbc = sh.ndev, sh.nloc, layout.nbc
     diag = np.asarray(lv.diag)
     cols = np.asarray(lv.cols)
@@ -174,7 +179,7 @@ def _owner_level_tables(lv, layout: SolverLayout, sh: PoolSharding):
         [tpos_all, np.full(pad, ntouch, np.int64)]
     ) if ng else np.full(per * ndev, ntouch, np.int64)
 
-    return {
+    out = {
         "diag": _pad2(d_rows, md, nloc),
         "cols": _pad2(c_rows, md, nbc),
         "tp": _pad2(p_rows, mt, nloc),
@@ -191,6 +196,31 @@ def _owner_level_tables(lv, layout: SolverLayout, sh: PoolSharding):
         "nx": nx,
         "ntouch": ntouch,
     }
+    if for_lu:
+        nd_mask = np.asarray(lv.gemm_nondiag)
+        if ng and nd_mask.any():
+            tu, posu = np.unique(gd[nd_mask], return_inverse=True)
+        else:
+            tu, posu = np.empty(0, np.int64), np.empty(0, np.int64)
+        ntu = tu.size
+        gpu = np.full(ng, ntu, np.int64)
+        if ntu:
+            gpu[nd_mask] = posu
+        gpu = np.concatenate([gpu, np.full(per * ndev - ng, ntu, np.int64)])
+        up_rows, ul_rows = [], []
+        for dd in range(ndev):
+            selu = (
+                np.flatnonzero(sh.owner[tu] == dd)
+                if ntu else np.empty(0, int)
+            )
+            up_rows.append(selu)
+            ul_rows.append(sh.loc[tu[selu]] if ntu else np.empty(0, int))
+        mtu = max(max(len(r) for r in up_rows), 1)
+        out["gp_u"] = np.asarray(gpu.reshape(ndev, per), np.int32)
+        out["tpos_u"] = _pad2(up_rows, mtu, ntu)
+        out["tloc_u"] = _pad2(ul_rows, mtu, nloc)
+        out["ntouch_u"] = ntu
+    return out
 
 
 def _stack_owner_tables(run: list, nloc: int, nbc: int):
@@ -217,6 +247,11 @@ def _stack_owner_tables(run: list, nloc: int, nbc: int):
         "tpos": (max(t["tpos"].shape[1] for t in run), mx_nt),
         "tloc": (max(t["tloc"].shape[1] for t in run), nloc),
     }
+    if "gp_u" in run[0]:
+        mx_ntu = max(t["ntouch_u"] for t in run)
+        dims["gp_u"] = (max(t["gp_u"].shape[1] for t in run), mx_ntu)
+        dims["tpos_u"] = (max(t["tpos_u"].shape[1] for t in run), mx_ntu)
+        dims["tloc_u"] = (max(t["tloc_u"].shape[1] for t in run), nloc)
     out = {}
     md_run = dims["tcpos"][1]
     for k, (m, fill) in dims.items():
@@ -230,6 +265,8 @@ def _stack_owner_tables(run: list, nloc: int, nbc: int):
                 stk[i, :, : a.shape[1]][a == t["nx"]] = mx_nx
             if k in ("gp", "tpos"):
                 stk[i, :, : a.shape[1]][a == t["ntouch"]] = mx_nt
+            if k in ("gp_u", "tpos_u"):
+                stk[i, :, : a.shape[1]][a == t["ntouch_u"]] = mx_ntu
             if k == "tcpos":
                 # pad sentinel is the LEVEL's diag-batch size; the stacked
                 # sacrificial accumulator row sits at the RUN's maximum —
@@ -239,6 +276,8 @@ def _stack_owner_tables(run: list, nloc: int, nbc: int):
         out[k] = stk
     out["nx"] = mx_nx
     out["ntouch"] = mx_nt
+    if "gp_u" in run[0]:
+        out["ntouch_u"] = mx_ntu
     return out
 
 
@@ -561,6 +600,235 @@ def build_owner_factorize_ldlt(
         check_vma=False,
     )
     return jax.jit(fn, donate_argnums=(0,))
+
+
+def build_owner_factorize_lu(
+    layout: SolverLayout, sh: PoolSharding, mesh: Mesh, tp_axis: str = "tp",
+    update_dtype=None,
+):
+    """Jitted owner-computes LU over two sharded pools (L and Ut).
+
+    fn(pool_sh, pool_u_sh, eps) -> (pool_sh, pool_u_sh, npiv).  Per level
+    both pools' post-TRSM panels ride ONE stacked halo psum; the L- and
+    U-side contributions come back through separate fan-in psums (the
+    U-side drops diagonal targets)."""
+    from pastix_tpu.numeric.grouping import group_plan
+
+    levels = layout.levels
+    T, nloc, nbc = layout.T, sh.nloc, layout.nbc
+    tabs = [
+        _owner_level_tables(lv, layout, sh, for_lu=True) for lv in levels
+    ]
+    plan = []
+    for tag, item in group_plan(levels, T=layout.T):
+        if tag == "unroll":
+            plan.append(("unroll", tabs[item]))
+        else:
+            plan.append(
+                ("scan", _stack_owner_tables([tabs[i] for i in item],
+                                             nloc, nbc))
+            )
+
+    def level(carry, t, me, nx, ntouch, ntouch_u):
+        pl_, pu_, npiv, eps = carry
+        diag_me = jnp.asarray(t["diag"])[me]
+        cols_me = jnp.asarray(t["cols"])[me]
+        diag, linv, uinv_t, piv = K.getrf_inv_batch(pl_[diag_me], eps)
+        pl_ = pl_.at[diag_me].set(diag)
+        valid = cols_me < nbc
+        npiv = npiv + jnp.where(valid, piv, 0).sum(dtype=jnp.int32)
+        if t["tp"].shape[-1]:
+            tp_me = jnp.asarray(t["tp"])[me]
+            pk_me = jnp.asarray(t["tcpos"])[me]
+            md = diag_me.shape[0]
+            pk_c = jnp.minimum(pk_me, md - 1)
+            lp = jnp.einsum(
+                "bij,bkj->bik", pl_[tp_me], uinv_t[pk_c],
+                preferred_element_type=pl_.dtype,
+                precision=K.matmul_precision(),
+            )
+            up = jnp.einsum(
+                "bij,bkj->bik", pu_[tp_me], linv[pk_c],
+                preferred_element_type=pu_.dtype,
+                precision=K.matmul_precision(),
+            )
+            pl_ = pl_.at[tp_me].set(lp)
+            pu_ = pu_.at[tp_me].set(up)
+        if nx:
+            # one stacked halo psum carries BOTH pools' level panels
+            X = jnp.zeros((2, nx + 1, T, T), pl_.dtype)
+            xp_me = jnp.asarray(t["xpos"])[me]
+            xl_me = jnp.asarray(t["xloc"])[me]
+            X = X.at[0, xp_me].set(pl_[xl_me])
+            X = X.at[1, xp_me].set(pu_[xl_me])
+            X = lax.psum(X, tp_axis)
+            ga_me = jnp.asarray(t["ga"])[me]
+            gb_me = jnp.asarray(t["gb"])[me]
+            gp_me = jnp.asarray(t["gp"])[me]
+            gpu_me = jnp.asarray(t["gp_u"])[me]
+            al_, bu_ = X[0, ga_me], X[1, gb_me]
+            au_, bl_ = X[1, ga_me], X[0, gb_me]
+            if update_dtype is not None:
+                al_, bu_ = al_.astype(update_dtype), bu_.astype(update_dtype)
+                au_, bl_ = au_.astype(update_dtype), bl_.astype(update_dtype)
+            # L-side: A(I,K) -= L(I,J) @ U(J,K) = Lp[ga] @ Ut[gb]^T
+            cl = jnp.einsum(
+                "bij,bkj->bik", al_, bu_,
+                preferred_element_type=pl_.dtype,
+                precision=K.matmul_precision(),
+            ).astype(pl_.dtype)
+            acc = jnp.zeros((ntouch + 1, T, T), pl_.dtype)
+            acc = acc.at[gp_me].add(cl)
+            acc = lax.psum(acc, tp_axis)
+            ap_me = jnp.asarray(t["tpos"])[me]
+            alc_me = jnp.asarray(t["tloc"])[me]
+            pl_ = pl_.at[alc_me].add(-acc[ap_me])
+            if ntouch_u:
+                cu = jnp.einsum(
+                    "bij,bkj->bik", au_, bl_,
+                    preferred_element_type=pu_.dtype,
+                    precision=K.matmul_precision(),
+                ).astype(pu_.dtype)
+                accu = jnp.zeros((ntouch_u + 1, T, T), pu_.dtype)
+                accu = accu.at[gpu_me].add(cu)
+                accu = lax.psum(accu, tp_axis)
+                up_me = jnp.asarray(t["tpos_u"])[me]
+                ul_me = jnp.asarray(t["tloc_u"])[me]
+                pu_ = pu_.at[ul_me].add(-accu[up_me])
+        return (pl_, pu_, npiv, eps)
+
+    def fact_local(psh, push, eps):
+        pl_ = psh[0]
+        pu_ = push[0]
+        me = lax.axis_index(tp_axis)
+        carry = (pl_, pu_, jnp.int32(0), eps)
+        for tag, t in plan:
+            if tag == "unroll":
+                carry = level(carry, t, me, t["nx"], t["ntouch"],
+                              t["ntouch_u"])
+            else:
+                nx, nt, ntu = t["nx"], t["ntouch"], t["ntouch_u"]
+                xs = {k: jnp.asarray(v) for k, v in t.items()
+                      if k not in ("nx", "ntouch", "ntouch_u")}
+
+                def body(c, x):
+                    return level(c, x, me, nx, nt, ntu), None
+
+                carry, _ = lax.scan(body, carry, xs)
+        pl_, pu_, npiv, _ = carry
+        return pl_[None], pu_[None], npiv
+
+    fn = jax.shard_map(
+        fact_local,
+        mesh=mesh,
+        in_specs=(P(tp_axis), P(tp_axis), P()),
+        out_specs=(P(tp_axis), P(tp_axis), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn, donate_argnums=(0, 1))
+
+
+def build_owner_solve_lu(
+    layout: SolverLayout, sh: PoolSharding, mesh: Mesh, tp_axis: str = "tp",
+):
+    """Owner-computes LU solve: unit-lower forward on the L shards, upper
+    backward with off-diagonal contributions from the Ut shards and the
+    combined diag tiles from the L shards.  fn(pool_sh, pool_u_sh, b)."""
+    from pastix_tpu.numeric.grouping import group_plan
+
+    levels = layout.levels
+    T, nloc, nbc = layout.T, sh.nloc, layout.nbc
+    tabs = [_owner_level_tables(lv, layout, sh) for lv in levels]
+    plan = []
+    for tag, item in group_plan(levels, T=layout.T):
+        if tag == "unroll":
+            plan.append(("unroll", tabs[item]))
+        else:
+            plan.append(
+                ("scan", _stack_owner_tables([tabs[i] for i in item],
+                                             nloc, nbc))
+            )
+
+    def fwd_level(p, y, t, me):
+        diag_me = jnp.asarray(t["diag"])[me]
+        cols_me = jnp.asarray(t["cols"])[me]
+        md = diag_me.shape[0]
+        yc = y[jnp.minimum(cols_me, nbc - 1)]
+        sol = lax.linalg.triangular_solve(
+            p[diag_me], yc, left_side=True, lower=True, unit_diagonal=True,
+        )
+        buf = jnp.zeros((nbc + 1,) + y.shape[1:], y.dtype)
+        buf = buf.at[cols_me].add(sol - yc)
+        if t["tp"].shape[-1]:
+            tp_me = jnp.asarray(t["tp"])[me]
+            pk_me = jnp.asarray(t["tcpos"])[me]
+            tr_me = jnp.asarray(t["tr"])[me]
+            ysol = sol[jnp.minimum(pk_me, md - 1)]
+            contrib = jnp.einsum(
+                "bij,bjr->bir", p[tp_me], ysol,
+                preferred_element_type=y.dtype,
+                precision=K.matmul_precision(),
+            )
+            buf = buf.at[tr_me].add(-contrib)
+        return y + lax.psum(buf, tp_axis)[:nbc]
+
+    def bwd_level(pu, p, x, t, me):
+        diag_me = jnp.asarray(t["diag"])[me]
+        cols_me = jnp.asarray(t["cols"])[me]
+        md = diag_me.shape[0]
+        xc = x[jnp.minimum(cols_me, nbc - 1)]
+        if t["tp"].shape[-1]:
+            tp_me = jnp.asarray(t["tp"])[me]
+            pk_me = jnp.asarray(t["tcpos"])[me]
+            tr_me = jnp.asarray(t["tr"])[me]
+            contrib = jnp.einsum(
+                "bij,bir->bjr", pu[tp_me], x[jnp.minimum(tr_me, nbc - 1)],
+                preferred_element_type=x.dtype,
+                precision=K.matmul_precision(),
+            )
+            cacc = jnp.zeros((md + 1,) + x.shape[1:], x.dtype)
+            cacc = cacc.at[pk_me].add(-contrib)
+            xc = xc + cacc[:md]
+        sol = lax.linalg.triangular_solve(
+            p[diag_me], xc, left_side=True, lower=False, transpose_a=False,
+        )
+        buf = jnp.zeros((nbc + 1,) + x.shape[1:], x.dtype)
+        buf = buf.at[cols_me].add(sol - x[jnp.minimum(cols_me, nbc - 1)])
+        return x + lax.psum(buf, tp_axis)[:nbc]
+
+    def solve_local(psh, push, b):
+        p, pu = psh[0], push[0]
+        me = lax.axis_index(tp_axis)
+        y = b
+        for tag, t in plan:
+            if tag == "unroll":
+                y = fwd_level(p, y, t, me)
+            else:
+                xs = {k: jnp.asarray(v) for k, v in t.items()
+                      if k not in ("nx", "ntouch")}
+                y, _ = lax.scan(
+                    lambda c, x: (fwd_level(p, c, x, me), None), y, xs
+                )
+        for tag, t in reversed(plan):
+            if tag == "unroll":
+                y = bwd_level(pu, p, y, t, me)
+            else:
+                xs = {k: jnp.asarray(v) for k, v in t.items()
+                      if k not in ("nx", "ntouch")}
+                y, _ = lax.scan(
+                    lambda c, x: (bwd_level(pu, p, c, x, me), None), y, xs,
+                    reverse=True,
+                )
+        return y
+
+    fn = jax.shard_map(
+        solve_local,
+        mesh=mesh,
+        in_specs=(P(tp_axis), P(tp_axis), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def build_owner_solve_llt(

@@ -588,6 +588,12 @@ class Pastix:
                 and real_dtype
                 and cfg.shard_pool is not False
             )
+            use_owner_lu = (
+                cfg.factorization == Factorization.LU
+                and self._tp_axis is not None
+                and real_dtype
+                and cfg.shard_pool is not False
+            )
             if cfg.factorization == Factorization.LLT and use_subtree:
                 # proportional subtree mapping (reference distribPart/cand):
                 # device-local subtree phases need no collectives at all
@@ -648,6 +654,25 @@ class Pastix:
                 self._fact_fn = build_sharded_factorize_ldlt(
                     self.layout, self._mesh, tp_axis=self._tp_axis,
                     hermitian=self._hermitian, update_dtype=upd,
+                )
+            elif use_owner_lu:
+                from pastix_tpu.parallel.owner import (
+                    build_owner_factorize_lu,
+                    build_owner_solve_lu,
+                    build_pool_sharding,
+                )
+
+                ndev_tp = self._mesh.shape[self._tp_axis]
+                self._pool_sharding = build_pool_sharding(
+                    self.layout, ndev_tp
+                )
+                self._fact_fn = build_owner_factorize_lu(
+                    self.layout, self._pool_sharding, self._mesh,
+                    tp_axis=self._tp_axis, update_dtype=upd,
+                )
+                self._solve_fn = build_owner_solve_lu(
+                    self.layout, self._pool_sharding, self._mesh,
+                    tp_axis=self._tp_axis,
                 )
             else:
                 self._fact_fn = build_sharded_factorize_lu(
@@ -886,13 +911,45 @@ class Pastix:
         from pastix_tpu.parallel.owner import shard_pool_device
 
         cfg = self.config
-        host_pool, _ = coefinit(self.layout, self._A_perm, dtype=dtype)
+        is_lu = cfg.factorization == Factorization.LU
+        host_pool, host_pool_u = coefinit(
+            self.layout, self._A_perm, dtype=dtype, for_lu=is_lu
+        )
         psh = shard_pool_device(
             self._pool_sharding, host_pool, self._mesh,
             tp_axis=self._tp_axis,
         )
         del host_pool
         sh = self._pool_sharding
+        if is_lu:
+            push = shard_pool_device(
+                sh, host_pool_u, self._mesh, tp_axis=self._tp_axis
+            )
+            del host_pool_u
+            anorm = float(abs(self._A_perm).max()) if self._A_perm.nnz else 1.0
+            eps = jnp.asarray(
+                cfg.static_pivoting_threshold * anorm, dtype=dtype
+            )
+            pool, pool_u, npiv = self._fact_fn(psh, push, eps)
+            jax.block_until_ready(pool)
+            self.factors = Factors(
+                cfg.factorization, self.layout, pool, pool_u, None, int(npiv)
+            )
+            self._a_coo_dev = None
+            self.report.fact_time = time.perf_counter() - t0
+            self._trace_phase("numfact", t0)
+            self.report.static_pivots = int(npiv)
+            self.report.fact_gflops = self.report.fact_flops / max(
+                self.report.fact_time, 1e-12
+            ) / 1e9
+            if cfg.verbosity >= Verbosity.NO:
+                print(
+                    f"[pastix-tpu] numfact(owner): "
+                    f"{self.report.fact_time:.3f}s "
+                    f"({self.report.fact_gflops:.2f} GFLOP/s useful, pools "
+                    f"sharded {sh.ndev} x {sh.nloc} tiles x2)"
+                )
+            return self.factors
         if cfg.factorization == Factorization.LDLT:
             anorm = float(abs(self._A_perm).max()) if self._A_perm.nnz else 1.0
             eps = jnp.asarray(

@@ -231,3 +231,28 @@ def test_mesh_owner_ldlt_sharded():
         A, PastixConfig(tile_size=8, factorization=Factorization.LDLT)
     ).solve(b)
     np.testing.assert_allclose(x, x1, rtol=1e-5, atol=1e-7)
+
+
+def test_mesh_owner_lu_sharded():
+    """LU runs owner-computes over TWO sharded pools (L and Ut), with the
+    U-side fan-in dropping diagonal targets."""
+    A = random_unsym(400, density=0.02, seed=9)
+    S = A.to_scipy()
+    rng = np.random.default_rng(1)
+    B = S @ rng.standard_normal((A.n, 2))
+    solver = Pastix(
+        A,
+        PastixConfig(
+            tile_size=8, factorization=Factorization.LU, mesh_shape=(8,)
+        ),
+    )
+    X = solver.solve(B)
+    assert solver._pool_sharding is not None
+    assert solver.factors.pool.shape[0] == 8
+    assert solver.factors.pool_u.shape[0] == 8
+    res = np.linalg.norm(S @ X - B) / np.linalg.norm(B)
+    assert res < 1e-9
+    X1 = Pastix(
+        A, PastixConfig(tile_size=8, factorization=Factorization.LU)
+    ).solve(B)
+    np.testing.assert_allclose(X, X1, rtol=1e-5, atol=1e-7)
