@@ -419,12 +419,14 @@ def build_owner_factorize_llt(
             )
             p = p.at[tp_me].set(panels)
         if nx:
-            # halo exchange: the level's post-TRSM panels, once
-            X = jnp.zeros((nx + 1, T, T), p.dtype)
-            xp_me = jnp.asarray(t["xpos"])[me]
+            # halo exchange: the level's post-TRSM panels, once — an
+            # all_gather of each owner's COMPACT slab (send ~nx/ndev per
+            # device) then a local scatter, ~2x less ICI traffic than a
+            # full-size psum of zeros-except-mine
             xl_me = jnp.asarray(t["xloc"])[me]
-            X = X.at[xp_me].set(p[xl_me])
-            X = lax.psum(X, tp_axis)
+            Xg = lax.all_gather(p[xl_me], tp_axis, axis=0)
+            X = jnp.zeros((nx + 1, T, T), p.dtype)
+            X = X.at[jnp.asarray(t["xpos"])].set(Xg)
             ga_me = jnp.asarray(t["ga"])[me]
             gb_me = jnp.asarray(t["gb"])[me]
             gp_me = jnp.asarray(t["gp"])[me]
@@ -544,11 +546,10 @@ def build_owner_factorize_ldlt(
             ) / d_arr[jnp.minimum(tc_me, nbc - 1)][:, None, :]
             p = p.at[tp_me].set(panels)
         if nx:
-            X = jnp.zeros((nx + 1, T, T), p.dtype)
-            xp_me = jnp.asarray(t["xpos"])[me]
             xl_me = jnp.asarray(t["xloc"])[me]
-            X = X.at[xp_me].set(p[xl_me])
-            X = lax.psum(X, tp_axis)
+            Xg = lax.all_gather(p[xl_me], tp_axis, axis=0)
+            X = jnp.zeros((nx + 1, T, T), p.dtype)
+            X = X.at[jnp.asarray(t["xpos"])].set(Xg)
             ga_me = jnp.asarray(t["ga"])[me]
             gb_me = jnp.asarray(t["gb"])[me]
             gp_me = jnp.asarray(t["gp"])[me]
@@ -655,13 +656,15 @@ def build_owner_factorize_lu(
             pl_ = pl_.at[tp_me].set(lp)
             pu_ = pu_.at[tp_me].set(up)
         if nx:
-            # one stacked halo psum carries BOTH pools' level panels
-            X = jnp.zeros((2, nx + 1, T, T), pl_.dtype)
-            xp_me = jnp.asarray(t["xpos"])[me]
+            # one stacked halo all_gather carries BOTH pools' level panels
             xl_me = jnp.asarray(t["xloc"])[me]
-            X = X.at[0, xp_me].set(pl_[xl_me])
-            X = X.at[1, xp_me].set(pu_[xl_me])
-            X = lax.psum(X, tp_axis)
+            Xg = lax.all_gather(
+                jnp.stack([pl_[xl_me], pu_[xl_me]], axis=0), tp_axis, axis=0
+            )  # (ndev, 2, mx, T, T)
+            X = jnp.zeros((2, nx + 1, T, T), pl_.dtype)
+            X = X.at[:, jnp.asarray(t["xpos"])].set(
+                jnp.swapaxes(Xg, 0, 1)
+            )
             ga_me = jnp.asarray(t["ga"])[me]
             gb_me = jnp.asarray(t["gb"])[me]
             gp_me = jnp.asarray(t["gp"])[me]
