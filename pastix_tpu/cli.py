@@ -58,6 +58,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", action="store_true",
                    help="step-by-step: phase API + refactorize new values "
                         "with cached analysis (reference step-by-step.c)")
+    p.add_argument("--mesh", metavar="SHAPE", default=None,
+                   help="device mesh, e.g. 8 or 2x4 (the reference's "
+                        "process-count flag; axes dp x tp when 2D)")
+    p.add_argument("--ooc", type=int, metavar="MB", default=None,
+                   help="stream factorization under this HBM budget "
+                        "(IPARM_OOC_LIMIT)")
     p.add_argument("-v", "--verbose", action="count", default=1,
                    help="repeat for more (IPARM_VERBOSE ladder)")
     p.add_argument("-q", "--quiet", action="store_true")
@@ -129,6 +135,14 @@ def main(argv=None) -> int:
         }[args.refine]
     if args.eps_refine is not None:
         kw["refinement_eps"] = args.eps_refine
+    if args.mesh:
+        shape = tuple(int(s) for s in args.mesh.lower().split("x"))
+        kw["mesh_shape"] = shape
+        if len(shape) == 2:
+            kw["mesh_axis_names"] = ("dp", "tp")
+    if args.ooc is not None:
+        kw["ooc"] = True
+        kw["ooc_limit_mb"] = args.ooc
     cfg = PastixConfig(**kw)
 
     x_true = {
