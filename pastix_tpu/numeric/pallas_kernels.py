@@ -532,6 +532,10 @@ def gemm_scatter_pipelined(
                 [pool[jnp.asarray(t["ga"])], src[jnp.asarray(t["gb"])]],
                 axis=1,
             )
+            if update_dtype is not None:
+                # cast at gather time: the kernel then fetches HALF the
+                # bytes per pair (the MXU consumes bf16 anyway)
+                AB = AB.astype(update_dtype)
             in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
             operands.append(AB)
         elif cross:
@@ -542,8 +546,9 @@ def gemm_scatter_pipelined(
             operands.append(d)
 
         if ab_pack:
+            ab_dtype = update_dtype or out_dtype
             buf_shapes = [
-                pltpu.VMEM((2, G, 2, T, T), out_dtype),  # ab pair slots
+                pltpu.VMEM((2, G, 2, T, T), ab_dtype),  # ab pair slots
                 pltpu.SMEM((1,), jnp.int32),  # unused b slot placeholder
             ]
         else:
