@@ -1167,7 +1167,27 @@ class Pastix:
                         f"({str(e)[:120]}); classic sweeps"
                     )
                 self._solve_fn_inv = None
-        return solve_mod.solve(factors, b_ext, solve_fn=self._solve_fn)
+        try:
+            return solve_mod.solve(factors, b_ext, solve_fn=self._solve_fn)
+        except Exception as e:  # pragma: no cover - platform-specific
+            if self._dense_tail is None or self._mesh is not None:
+                raise
+            # the dense-tail solve materializes the (m, m) block next to
+            # the pool and can exceed HBM where the factorization fit
+            # (first seen: 648k elasticity, 17.6 GB > 15.75).  The factor
+            # lives in the POOL tiles either way — degrade to the classic
+            # per-level sweeps through the tail columns.
+            if self.config.verbosity >= Verbosity.NO:
+                print(
+                    "[pastix-tpu] dense-tail solve failed "
+                    f"({str(e)[:120]}); per-level tail sweeps"
+                )
+            self._solve_fn = solve_mod.build_solve_fn(
+                self.layout, self.config.factorization,
+                hermitian=self._hermitian, dense_tail=None,
+            )
+            self._dense_tail_solve_off = True
+            return solve_mod.solve(factors, b_ext, solve_fn=self._solve_fn)
 
     def _raw_solve_ext(self, b_ext: np.ndarray) -> np.ndarray:
         """Factored solve in extended-permuted order (no refinement)."""

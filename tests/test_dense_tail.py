@@ -121,3 +121,30 @@ def test_tail_respects_min_q():
     s = Pastix(A, PastixConfig(tile_size=16))
     s.analyze()
     assert plan_dense_tail(s.layout, min_q=10**6) is None
+
+
+def test_dense_tail_solve_falls_back_to_level_sweeps():
+    """If the dense-tail solve program fails (HBM OOM on hardware), the
+    classic per-level sweeps through the tail columns take over — the
+    factor lives in the pool tiles either way."""
+    import numpy as np
+
+    from pastix_tpu import Pastix, PastixConfig
+    from pastix_tpu.generators import poisson_3d
+
+    A = poisson_3d(10)
+    # classic-sweep path only (no fast-solve inverse, no fused refine)
+    s = Pastix(
+        A, PastixConfig(tile_size=8, fast_solve=False, device_refine=False)
+    )
+    s.factorize()
+    assert s._dense_tail is not None
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated remote-compile OOM")
+
+    s._solve_fn = boom
+    b = A.to_scipy() @ np.ones(A.n)
+    x = s.solve(b)
+    assert getattr(s, "_dense_tail_solve_off", False)
+    assert np.abs(x - 1).max() < 1e-8
