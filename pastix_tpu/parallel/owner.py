@@ -733,6 +733,7 @@ def build_owner_factorize_lu(
 
 def build_owner_solve_lu(
     layout: SolverLayout, sh: PoolSharding, mesh: Mesh, tp_axis: str = "tp",
+    dp_axis=None,
 ):
     """Owner-computes LU solve: unit-lower forward on the L shards, upper
     backward with off-diagonal contributions from the Ut shards and the
@@ -824,19 +825,24 @@ def build_owner_solve_lu(
                 )
         return y
 
+    bspec = P(None, None, dp_axis) if dp_axis else P()
     fn = jax.shard_map(
         solve_local,
         mesh=mesh,
-        in_specs=(P(tp_axis), P(tp_axis), P()),
-        out_specs=P(),
+        in_specs=(P(tp_axis), P(tp_axis), bspec),
+        out_specs=bspec,
         check_vma=False,
     )
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    if not dp_axis:
+        return jfn
+    return _wrap_dp_pad(jfn, mesh.shape[dp_axis])
 
 
 def build_owner_solve_llt(
     layout: SolverLayout, sh: PoolSharding, mesh: Mesh, tp_axis: str = "tp",
     dense_tail=None, unit: bool = False, with_d: bool = False,
+    dp_axis=None,
 ):
     """Jitted owner-computes solve over the sharded pool: per level,
     owners solve their diagonal blocks and compute their panels'
@@ -957,15 +963,36 @@ def build_owner_solve_llt(
                 )
         return y
 
-    nrest = 2 if with_d else 1
+    bspec = P(None, None, dp_axis) if dp_axis else P()
+    pre = (P(),) if with_d else ()
     fn = jax.shard_map(
         solve_local,
         mesh=mesh,
-        in_specs=(P(tp_axis),) + (P(),) * nrest,
-        out_specs=P(),
+        in_specs=(P(tp_axis),) + pre + (bspec,),
+        out_specs=bspec,
         check_vma=False,
     )
-    return jax.jit(fn)
+    jfn = jax.jit(fn)
+    if not dp_axis:
+        return jfn
+    return _wrap_dp_pad(jfn, mesh.shape[dp_axis])
+
+
+def _wrap_dp_pad(jfn, ndp):
+    """Pad the RHS column count to a dp multiple per call (and strip)."""
+
+    def wrap(*args):
+        b = args[-1]
+        R = b.shape[-1]
+        pad = (-R) % ndp
+        if pad:
+            b = jnp.concatenate(
+                [b, jnp.zeros(b.shape[:-1] + (pad,), b.dtype)], axis=-1
+            )
+        out = jfn(*args[:-1], b)
+        return out[..., :R] if pad else out
+
+    return wrap
 
 
 def shard_pool_device(sh: PoolSharding, host_pool: np.ndarray, mesh: Mesh,

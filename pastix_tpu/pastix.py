@@ -624,6 +624,7 @@ class Pastix:
                 self._solve_fn = build_owner_solve_llt(
                     self.layout, self._pool_sharding, self._mesh,
                     tp_axis=self._tp_axis, dense_tail=self._dense_tail,
+                    dp_axis=self._dp_axis,
                 )
             elif cfg.factorization == Factorization.LLT:
                 self._fact_fn = build_sharded_factorize_llt(
@@ -649,6 +650,7 @@ class Pastix:
                 self._solve_fn = build_owner_solve_llt(
                     self.layout, self._pool_sharding, self._mesh,
                     tp_axis=self._tp_axis, unit=True, with_d=True,
+                    dp_axis=self._dp_axis,
                 )
             elif cfg.factorization in (Factorization.LDLT, Factorization.LDLH):
                 self._fact_fn = build_sharded_factorize_ldlt(
@@ -672,7 +674,7 @@ class Pastix:
                 )
                 self._solve_fn = build_owner_solve_lu(
                     self.layout, self._pool_sharding, self._mesh,
-                    tp_axis=self._tp_axis,
+                    tp_axis=self._tp_axis, dp_axis=self._dp_axis,
                 )
             else:
                 self._fact_fn = build_sharded_factorize_lu(
