@@ -700,7 +700,27 @@ class Pastix:
                 self.layout, cfg.factorization, hermitian=self._hermitian,
                 dense_tail=self._dense_tail,
             )
-        if cfg.fast_solve and self._mesh is None and self._ooc_plan is None:
+        # memory-aware solve-path choice: the fast-solve inverses
+        # ((nbc, T, T) ~ pool/10) and the fused refine program stack GBs
+        # next to the pool; when the pool already fills most of the HBM
+        # budget, default to classic sweeps + host refinement instead of
+        # compiling programs that will OOM (648k elasticity: pool 7.6 GB,
+        # fused paths pushed past 15.75 GB)
+        pool_hbm_frac = (
+            self.layout.npool * self.layout.T ** 2
+            * np.dtype(cfg.compute_dtype).itemsize
+            * (2 if cfg.factorization == Factorization.LU else 1)
+            / (float(os.environ.get("PASTIX_HBM_GB", "13")) * 2**30)
+        )
+        fits_fast = pool_hbm_frac < float(
+            os.environ.get("PASTIX_FAST_SOLVE_MAX_POOL_FRAC", "0.45")
+        )
+        import jax as _jx_backend
+
+        if _jx_backend.default_backend() == "cpu":
+            fits_fast = True  # host RAM, not HBM: no cap on the test mesh
+        if cfg.fast_solve and self._mesh is None and self._ooc_plan is None \
+                and fits_fast:
             from pastix_tpu.numeric.factorize import build_diag_inverse_fn
 
             self._dinv_fn = build_diag_inverse_fn(
@@ -736,6 +756,7 @@ class Pastix:
         elif (
             cfg.device_refine
             and cfg.fast_solve
+            and fits_fast
             and self._mesh is None
             and self._ooc_plan is None
             and cfg.refinement != RefinementMethod.NONE
