@@ -32,18 +32,32 @@ class KernelTiming:
         return self.flops / self.seconds / 1e9
 
 
-def _time_fn(fn, *args, reps: int = 5) -> float:
-    import jax
+_LOOP_K = 8  # op iterations per timed program
 
-    out = fn(*args)
+
+def _time_fn(fn, *args, reps: int = 5) -> float:
+    """Best-of-reps seconds per OP, with the op iterated _LOOP_K times
+    INSIDE one jitted program: a device->host sync through the remote-TPU
+    tunnel costs ~50 ms and would swamp (and falsify) per-call timing —
+    the calibration must measure the op, not the tunnel."""
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def many(*a):
+        def body(_, carry):
+            return fn(*carry)
+        return lax.fori_loop(0, _LOOP_K, body, a)
+
+    out = many(*args)
     jax.block_until_ready(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
+        out = many(*args)
         jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
-    return best
+    return best / _LOOP_K
 
 
 @functools.lru_cache(maxsize=64)
@@ -66,18 +80,24 @@ def measure_kernels(T: int, batch: int, dtype_str: str = "float32"):
     ga = jnp.asarray(np.arange(batch, dtype=np.int32))
 
     out = {}
-    potrf = jax.jit(lambda t: K.potrf_batch(jnp.tril(t)))
+    # each fn returns its full carry so the iterations chain (defeating
+    # loop-invariant hoisting) — see _time_fn
     out["potrf"] = KernelTiming(
-        "potrf", batch, T, _time_fn(potrf, tiles), batch * T**3 / 3.0
+        "potrf", batch, T,
+        _time_fn(lambda t: (K.potrf_batch(jnp.tril(t)),), tiles),
+        batch * T**3 / 3.0,
     )
-    trsm = jax.jit(K.trsm_llt)
     out["trsm"] = KernelTiming(
-        "trsm", batch, T, _time_fn(trsm, panels, tiles), batch * float(T) ** 3
+        "trsm", batch, T,
+        _time_fn(lambda p, t: (K.trsm_llt(p, t), t), panels, tiles),
+        batch * float(T) ** 3,
     )
-    gemm = jax.jit(lambda p, a, b, d: K.gemm_scatter(p, a, b, d))
     out["gemm"] = KernelTiming(
         "gemm", batch, T,
-        _time_fn(gemm, panels, ga, ga, ga),
+        _time_fn(
+            lambda p, a, b, d: (K.gemm_scatter(p, a, b, d), a, b, d),
+            panels, ga, ga, ga,
+        ),
         batch * 2.0 * float(T) ** 3,
     )
     return out
