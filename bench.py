@@ -212,14 +212,15 @@ def bench():
         "print(time.perf_counter() - t0)\n"
     )
     splu_t0 = time.perf_counter()
+    # lowest priority + single-thread BLAS: the baseline must not steal
+    # host CPU from the analysis phases running concurrently (measured 3x
+    # slowdown); `nice -n 19` instead of preexec_fn (fork-after-threads
+    # warning under JAX)
     splu_proc = _sp.Popen(
-        [sys.executable, "-c", splu_code],
+        ["nice", "-n", "19", sys.executable, "-c", splu_code],
         stdout=_sp.PIPE, stderr=_sp.DEVNULL, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
         env=dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1"),
-        # lowest priority: the baseline must not steal host CPU from the
-        # analysis phases running concurrently (measured 3x slowdown)
-        preexec_fn=lambda: os.nice(19),
     )
 
     A = poisson_3d(nx)
