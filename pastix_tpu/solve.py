@@ -85,17 +85,29 @@ def _tail_ops(layout: SolverLayout, dense_tail, hermitian: bool):
 
 
 def _fwd_level(pool, y, t, unit):
+    from pastix_tpu.numeric.factorize import _scan_chunks
+
     sol = lax.linalg.triangular_solve(
         pool[t["diag"]], y[t["cols"]],
         left_side=True, lower=True, unit_diagonal=unit,
     )
     y = y.at[t["cols"]].set(sol)
     if t["tp"].size:
-        contrib = jnp.einsum(
-            "bij,bjr->bir", pool[t["tp"]], y[t["tc"]],
-            preferred_element_type=y.dtype, precision=_HI,
+        nbc = y.shape[0]
+
+        # chunked: gathering a whole level's panels materializes
+        # (nt, T, T) — >3 GB on the widest 1M-dof levels, which pushed
+        # the solve program past HBM where the factorization fit
+        def body(y, tp, tc, tr):
+            contrib = jnp.einsum(
+                "bij,bjr->bir", pool[tp], y[jnp.minimum(tc, nbc - 1)],
+                preferred_element_type=y.dtype, precision=_HI,
+            )
+            return y.at[tr].add(-contrib)
+
+        y = _scan_chunks(
+            y, (t["tp"], t["tc"], t["tr"]), (pool.shape[0], nbc, nbc), body
         )
-        y = y.at[t["tr"]].add(-contrib)
     return y
 
 
@@ -106,15 +118,25 @@ def _bwd_level(pool_contrib, pool_diag, x, t, lower_t, unit, conj=False):
     Ut for LU); pool_diag the diagonal tiles.  ``conj``: Hermitian sweep
     (L^H instead of L^T; no-op for real dtypes).
     """
+    from pastix_tpu.numeric.factorize import _scan_chunks
+
     if t["tp"].size:
-        tiles = pool_contrib[t["tp"]]
-        if conj and jnp.iscomplexobj(tiles):
-            tiles = jnp.conj(tiles)
-        contrib = jnp.einsum(
-            "bij,bir->bjr", tiles, x[t["tr"]],
-            preferred_element_type=x.dtype, precision=_HI,
+        nbc = x.shape[0]
+
+        def body(x, tp, tc, tr):
+            tiles = pool_contrib[tp]
+            if conj and jnp.iscomplexobj(tiles):
+                tiles = jnp.conj(tiles)
+            contrib = jnp.einsum(
+                "bij,bir->bjr", tiles, x[jnp.minimum(tr, nbc - 1)],
+                preferred_element_type=x.dtype, precision=_HI,
+            )
+            return x.at[tc].add(-contrib)
+
+        x = _scan_chunks(
+            x, (t["tp"], t["tc"], t["tr"]),
+            (pool_contrib.shape[0], nbc, nbc), body,
         )
-        x = x.at[t["tc"]].add(-contrib)
     sol = lax.linalg.triangular_solve(
         pool_diag[t["diag"]], x[t["cols"]],
         left_side=True, lower=lower_t, transpose_a=lower_t,
@@ -325,11 +347,20 @@ def _fwd_level_inv(pool, dinv, y, t):
     )
     y = y.at[t["cols"]].set(sol)
     if t["tp"].size:
-        contrib = jnp.einsum(
-            "bij,bjr->bir", pool[t["tp"]], y[t["tc"]],
-            preferred_element_type=y.dtype, precision=_HI,
+        from pastix_tpu.numeric.factorize import _scan_chunks
+
+        nbc = y.shape[0]
+
+        def body(y, tp, tc, tr):
+            contrib = jnp.einsum(
+                "bij,bjr->bir", pool[tp], y[jnp.minimum(tc, nbc - 1)],
+                preferred_element_type=y.dtype, precision=_HI,
+            )
+            return y.at[tr].add(-contrib)
+
+        y = _scan_chunks(
+            y, (t["tp"], t["tc"], t["tr"]), (pool.shape[0], nbc, nbc), body
         )
-        y = y.at[t["tr"]].add(-contrib)
     return y
 
 
@@ -340,14 +371,24 @@ def _bwd_level_inv(pool_contrib, dinv, x, t, transpose_d, conj=False):
     transposed); False for LU (dinv is already the upper inverse).
     """
     if t["tp"].size:
-        tiles = pool_contrib[t["tp"]]
-        if conj and jnp.iscomplexobj(tiles):
-            tiles = jnp.conj(tiles)
-        contrib = jnp.einsum(
-            "bij,bir->bjr", tiles, x[t["tr"]],
-            preferred_element_type=x.dtype, precision=_HI,
+        from pastix_tpu.numeric.factorize import _scan_chunks
+
+        nbc = x.shape[0]
+
+        def body(x, tp, tc, tr):
+            tiles = pool_contrib[tp]
+            if conj and jnp.iscomplexobj(tiles):
+                tiles = jnp.conj(tiles)
+            contrib = jnp.einsum(
+                "bij,bir->bjr", tiles, x[jnp.minimum(tr, nbc - 1)],
+                preferred_element_type=x.dtype, precision=_HI,
+            )
+            return x.at[tc].add(-contrib)
+
+        x = _scan_chunks(
+            x, (t["tp"], t["tc"], t["tr"]),
+            (pool_contrib.shape[0], nbc, nbc), body,
         )
-        x = x.at[t["tc"]].add(-contrib)
     D = dinv[t["cols"]]
     if conj and jnp.iscomplexobj(D):
         D = jnp.conj(D)
