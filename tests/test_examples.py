@@ -71,3 +71,13 @@ def test_simple_dist():
 def test_memory_usage():
     out = _run("memory_usage.py", "-lap3", "12")
     assert "device factor pool" in out and "residual" in out
+
+
+def test_multi_device():
+    out = _run("multi_device.py")
+    assert "pool sharded" in out and "residual" in out
+
+
+def test_out_of_core():
+    out = _run("out_of_core.py")
+    assert "segments under" in out and "residual" in out
