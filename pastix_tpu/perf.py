@@ -49,13 +49,20 @@ def _time_fn(fn, *args, reps: int = 5) -> float:
             return fn(*carry)
         return lax.fori_loop(0, _LOOP_K, body, a)
 
+    def sync(out):
+        # block_until_ready does NOT reliably block on the remote-TPU
+        # tunnel platform — force completion with a one-element
+        # device->host read of the first output leaf
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return float(np.real(np.asarray(leaf.ravel()[-1:])[0]))
+
     out = many(*args)
-    jax.block_until_ready(out)
+    sync(out)
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         out = many(*args)
-        jax.block_until_ready(out)
+        sync(out)
         best = min(best, time.perf_counter() - t0)
     return best / _LOOP_K
 
