@@ -84,14 +84,30 @@ def _tail_ops(layout: SolverLayout, dense_tail, hermitian: bool):
     return gather, fwd, bwd
 
 
+def _diag_solve_chunked(pool_diag, y, diag, cols, solve_one):
+    """y[cols] = solve_one(pool_diag[diag], y[cols]) over bounded chunks
+    (a bottom level holds ~12k diagonal tiles at 1M dof — unchunked
+    gathers left several 0.8 GB temps live at once)."""
+    from pastix_tpu.numeric.factorize import _scan_chunks
+
+    nbc = y.shape[0]
+
+    def body(y, dg, cl):
+        sol = solve_one(pool_diag[dg], y[jnp.minimum(cl, nbc - 1)])
+        return y.at[cl].set(sol)
+
+    return _scan_chunks(y, (diag, cols), (pool_diag.shape[0], nbc), body)
+
+
 def _fwd_level(pool, y, t, unit):
     from pastix_tpu.numeric.factorize import _scan_chunks
 
-    sol = lax.linalg.triangular_solve(
-        pool[t["diag"]], y[t["cols"]],
-        left_side=True, lower=True, unit_diagonal=unit,
+    y = _diag_solve_chunked(
+        pool, y, t["diag"], t["cols"],
+        lambda D, yc: lax.linalg.triangular_solve(
+            D, yc, left_side=True, lower=True, unit_diagonal=unit,
+        ),
     )
-    y = y.at[t["cols"]].set(sol)
     if t["tp"].size:
         nbc = y.shape[0]
 
@@ -137,12 +153,13 @@ def _bwd_level(pool_contrib, pool_diag, x, t, lower_t, unit, conj=False):
             x, (t["tp"], t["tc"], t["tr"]),
             (pool_contrib.shape[0], nbc, nbc), body,
         )
-    sol = lax.linalg.triangular_solve(
-        pool_diag[t["diag"]], x[t["cols"]],
-        left_side=True, lower=lower_t, transpose_a=lower_t,
-        conjugate_a=conj and lower_t, unit_diagonal=unit,
+    x = _diag_solve_chunked(
+        pool_diag, x, t["diag"], t["cols"],
+        lambda D, xc: lax.linalg.triangular_solve(
+            D, xc, left_side=True, lower=lower_t, transpose_a=lower_t,
+            conjugate_a=conj and lower_t, unit_diagonal=unit,
+        ),
     )
-    x = x.at[t["cols"]].set(sol)
     return x
 
 
@@ -341,11 +358,13 @@ def solve(factors: Factors, b_perm: np.ndarray, solve_fn=None) -> np.ndarray:
 
 
 def _fwd_level_inv(pool, dinv, y, t):
-    sol = jnp.einsum(
-        "bij,bjr->bir", dinv[t["cols"]], y[t["cols"]],
-        preferred_element_type=y.dtype, precision=_HI,
+    y = _diag_solve_chunked(
+        dinv, y, t["cols"], t["cols"],
+        lambda D, yc: jnp.einsum(
+            "bij,bjr->bir", D, yc,
+            preferred_element_type=y.dtype, precision=_HI,
+        ),
     )
-    y = y.at[t["cols"]].set(sol)
     if t["tp"].size:
         from pastix_tpu.numeric.factorize import _scan_chunks
 
@@ -389,14 +408,16 @@ def _bwd_level_inv(pool_contrib, dinv, x, t, transpose_d, conj=False):
             x, (t["tp"], t["tc"], t["tr"]),
             (pool_contrib.shape[0], nbc, nbc), body,
         )
-    D = dinv[t["cols"]]
-    if conj and jnp.iscomplexobj(D):
-        D = jnp.conj(D)
     eq = "bji,bjr->bir" if transpose_d else "bij,bjr->bir"
-    sol = jnp.einsum(
-        eq, D, x[t["cols"]], preferred_element_type=x.dtype, precision=_HI
-    )
-    x = x.at[t["cols"]].set(sol)
+
+    def apply_d(D, xc):
+        if conj and jnp.iscomplexobj(D):
+            D = jnp.conj(D)
+        return jnp.einsum(
+            eq, D, xc, preferred_element_type=x.dtype, precision=_HI
+        )
+
+    x = _diag_solve_chunked(dinv, x, t["cols"], t["cols"], apply_d)
     return x
 
 
