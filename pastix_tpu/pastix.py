@@ -696,9 +696,32 @@ class Pastix:
                 dense_tail=self._dense_tail,
                 packed_plan=self._packed_plan,
             )
+            # the dense-tail SOLVE materializes the (m, m) block + a
+            # gather temp NEXT TO the (undonated) pool; when that cannot
+            # fit the HBM budget, build the per-level sweeps directly
+            # instead of compiling a program that will OOM (measured
+            # 19.8 GB > 15.75 at the 1M flagship)
+            tail_for_solve = self._dense_tail
+            if tail_for_solve is not None:
+                import jax as _jx_ts
+
+                dtype_b = np.dtype(cfg.compute_dtype).itemsize
+                need = (
+                    self.layout.npool * self.layout.T ** 2
+                    + 3 * (tail_for_solve.m ** 2)
+                ) * dtype_b
+                hbm = float(os.environ.get("PASTIX_HBM_GB", "13")) * 2**30
+                if _jx_ts.default_backend() != "cpu" and need > hbm:
+                    if cfg.verbosity >= Verbosity.YES:
+                        print(
+                            "[pastix-tpu] dense-tail solve would exceed "
+                            "HBM; using per-level tail sweeps"
+                        )
+                    tail_for_solve = None
+                    self._dense_tail_solve_off = True
             self._solve_fn = solve_mod.build_solve_fn(
                 self.layout, cfg.factorization, hermitian=self._hermitian,
-                dense_tail=self._dense_tail,
+                dense_tail=tail_for_solve,
             )
         # memory-aware solve-path choice: the fast-solve inverses
         # ((nbc, T, T) ~ pool/10) and the fused refine program stack GBs
