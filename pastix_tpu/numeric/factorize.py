@@ -334,10 +334,11 @@ def build_factorize_fn(
     (separator chains) runs as lax.scan over stacked padded tables —
     program size stays bounded as tree depth grows.
 
-    ``use_pallas`` (default: opt-in via PASTIX_USE_PALLAS=1, TPU backend
-    with T % 128 == 0 only) routes the unrolled levels' trailing updates
-    through the fused Pallas gather-GEMM-scatter kernel; scan tails keep
-    the XLA path.
+    ``use_pallas`` (default: ON for the TPU backend with T % 128 == 0;
+    PASTIX_USE_PALLAS=0 disables) routes the unrolled levels' trailing
+    updates through the pipelined Pallas gather-GEMM-scatter kernel
+    (G=2 pairs per grid step, 5.9 vs 3.5 TF/s bf16 against XLA —
+    BASELINE.md §4e); scan tails keep the XLA path.
 
     ``packed_plan`` (analyze.packed.build_packed_plan): route the panel
     TRSM + trailing updates through packed row supports — device flops

@@ -15,7 +15,7 @@ reference's blend emits a *local* SolverMatrix per rank
   * per level, owners factor their DIAG tiles and TRSM their panels
     (panel work now scales ~1/ndev too, not just E2);
   * the level's post-TRSM panels are exchanged once into a compact halo
-    buffer X (one psum of level-panel size — the E1/E2 block sends of
+    buffer X (one compact-slab all_gather — the E1/E2 block sends of
     sopalin's fan-out), the E2 pairs are round-robin partitioned over
     devices reading from X, and the contributions come back through the
     compact touched-tile psum (the FanInTarget analog);
