@@ -706,9 +706,13 @@ class Pastix:
                 import jax as _jx_ts
 
                 dtype_b = np.dtype(cfg.compute_dtype).itemsize
+                # 8x m^2: measured at the 1M flagship — dense + scatter
+                # temp + reshape copy + tail-tile gather + fusion copies
+                # (the compile dump showed ~20.7 GB total for a 10.65 GB
+                # pool with m=16512, i.e. ~8 m^2 of program temps)
                 need = (
                     self.layout.npool * self.layout.T ** 2
-                    + 3 * (tail_for_solve.m ** 2)
+                    + 8 * (tail_for_solve.m ** 2)
                 ) * dtype_b
                 hbm = float(os.environ.get("PASTIX_HBM_GB", "13")) * 2**30
                 if _jx_ts.default_backend() != "cpu" and need > hbm:

@@ -24,6 +24,15 @@ from pastix_tpu.numeric.factorize import Factors
 from pastix_tpu.numeric.kernels import matmul_precision
 _HI = matmul_precision()
 
+import os as _os_mod
+
+# Solve sweeps chunk tighter than the factorization (kernels._GEMM_CHUNK):
+# the solve program is read-only over the pool, so XLA can schedule many
+# levels' un-scanned gathers CONCURRENTLY — several 0.5-0.8 GB temps live
+# at once OOM'd the 1M flagship.  A lax.scan's carried dependency forces
+# sequencing, so levels above this threshold are bounded AND serialized.
+_SOLVE_CHUNK = int(_os_mod.environ.get("PASTIX_SOLVE_CHUNK", "4096"))
+
 
 def _solve_plan(layout: SolverLayout, dense_tail=None):
     """Unroll/scan plan with only the solve-relevant fields."""
@@ -96,7 +105,8 @@ def _diag_solve_chunked(pool_diag, y, diag, cols, solve_one):
         sol = solve_one(pool_diag[dg], y[jnp.minimum(cl, nbc - 1)])
         return y.at[cl].set(sol)
 
-    return _scan_chunks(y, (diag, cols), (pool_diag.shape[0], nbc), body)
+    return _scan_chunks(y, (diag, cols), (pool_diag.shape[0], nbc), body,
+                        chunk=_SOLVE_CHUNK)
 
 
 def _fwd_level(pool, y, t, unit):
@@ -122,7 +132,8 @@ def _fwd_level(pool, y, t, unit):
             return y.at[tr].add(-contrib)
 
         y = _scan_chunks(
-            y, (t["tp"], t["tc"], t["tr"]), (pool.shape[0], nbc, nbc), body
+            y, (t["tp"], t["tc"], t["tr"]), (pool.shape[0], nbc, nbc), body,
+            chunk=_SOLVE_CHUNK,
         )
     return y
 
@@ -151,7 +162,7 @@ def _bwd_level(pool_contrib, pool_diag, x, t, lower_t, unit, conj=False):
 
         x = _scan_chunks(
             x, (t["tp"], t["tc"], t["tr"]),
-            (pool_contrib.shape[0], nbc, nbc), body,
+            (pool_contrib.shape[0], nbc, nbc), body, chunk=_SOLVE_CHUNK,
         )
     x = _diag_solve_chunked(
         pool_diag, x, t["diag"], t["cols"],
@@ -378,7 +389,8 @@ def _fwd_level_inv(pool, dinv, y, t):
             return y.at[tr].add(-contrib)
 
         y = _scan_chunks(
-            y, (t["tp"], t["tc"], t["tr"]), (pool.shape[0], nbc, nbc), body
+            y, (t["tp"], t["tc"], t["tr"]), (pool.shape[0], nbc, nbc), body,
+            chunk=_SOLVE_CHUNK,
         )
     return y
 
@@ -406,7 +418,7 @@ def _bwd_level_inv(pool_contrib, dinv, x, t, transpose_d, conj=False):
 
         x = _scan_chunks(
             x, (t["tp"], t["tc"], t["tr"]),
-            (pool_contrib.shape[0], nbc, nbc), body,
+            (pool_contrib.shape[0], nbc, nbc), body, chunk=_SOLVE_CHUNK,
         )
     eq = "bji,bjr->bir" if transpose_d else "bij,bjr->bir"
 
