@@ -173,9 +173,16 @@ def calibrated_thresholds(T: int, dtype_str: str = "float32",
     cannot explode compile time (low floor) or program size (high cap)."""
     cal = calibrate(T, dtype_str)
     g, p = cal["gemm"], cal["potrf"]
-    unroll_gemm = int(
-        np.clip(waste_factor * g["overhead_s"] / g["marginal_s"], 512, 8192)
-    )
+    unroll_gemm = waste_factor * g["overhead_s"] / g["marginal_s"]
+    import jax
+
+    if jax.default_backend() == "tpu" and T % 128 == 0:
+        # unrolled levels run the pipelined Pallas E2 (1.67x the XLA
+        # gather-GEMM-scatter the scan tails use — BASELINE.md §4e); the
+        # kernel differential makes unrolling worth ~4x more E2 work
+        # than the padding-vs-overhead model alone says
+        unroll_gemm /= 4.0
+    unroll_gemm = int(np.clip(unroll_gemm, 512, 8192))
     unroll_diag = int(
         np.clip(waste_factor * p["overhead_s"] / p["marginal_s"], 128, 2048)
     )
