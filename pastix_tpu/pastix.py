@@ -574,25 +574,25 @@ class Pastix:
             real_dtype = not np.issubdtype(
                 np.dtype(cfg.compute_dtype), np.complexfloating
             )
+            # Schur mode keeps the replicated-pool mesh builders:
+            # get_schur addresses the terminal block by global tile index
+            owner_ok = (
+                self._tp_axis is not None
+                and real_dtype
+                and cfg.shard_pool is not False
+                and self._schur_first_bcol is None
+            )
             use_owner = (
                 cfg.factorization == Factorization.LLT
                 and not use_subtree
                 and self._hermitian
-                and self._tp_axis is not None
-                and real_dtype
-                and cfg.shard_pool is not False
+                and owner_ok
             )
             use_owner_ldlt = (
-                cfg.factorization == Factorization.LDLT
-                and self._tp_axis is not None
-                and real_dtype
-                and cfg.shard_pool is not False
+                cfg.factorization == Factorization.LDLT and owner_ok
             )
             use_owner_lu = (
-                cfg.factorization == Factorization.LU
-                and self._tp_axis is not None
-                and real_dtype
-                and cfg.shard_pool is not False
+                cfg.factorization == Factorization.LU and owner_ok
             )
             if cfg.factorization == Factorization.LLT and use_subtree:
                 # proportional subtree mapping (reference distribPart/cand):

@@ -256,3 +256,21 @@ def test_mesh_owner_lu_sharded():
         A, PastixConfig(tile_size=8, factorization=Factorization.LU)
     ).solve(B)
     np.testing.assert_allclose(X, X1, rtol=1e-5, atol=1e-7)
+
+
+def test_mesh_schur_uses_replicated_pool():
+    """Schur mode on a mesh keeps the replicated-pool builders (get_schur
+    addresses the terminal block by GLOBAL tile index — regression: the
+    owner-computes path crashed here)."""
+    A = poisson_3d(8)
+    schur_set = np.arange(A.n - 40, A.n)
+    s1 = Pastix(A, PastixConfig(tile_size=8))
+    s1.set_schur_unknowns(schur_set)
+    s1.factorize()
+    S1 = s1.get_schur()
+    s2 = Pastix(A, PastixConfig(tile_size=8, mesh_shape=(8,)))
+    s2.set_schur_unknowns(schur_set)
+    s2.factorize()
+    assert s2._pool_sharding is None  # replicated fallback taken
+    S2 = s2.get_schur()
+    np.testing.assert_allclose(S2, S1, rtol=1e-5, atol=1e-7)
