@@ -315,10 +315,11 @@ def build_pipeline_schedule(ga, gb, gd, gk=None, chunk: int = 8192,
             ])
             t["rd"] = np.concatenate([t["rd"], np.full(gpad, -1, np.int32)])
         t["group"] = group
-        # compact operand tables for the BlockSpec variant: a/b are
-        # gathered into per-chunk dense arrays OUTSIDE the kernel so the
-        # pool is passed exactly once (aliased dst) — passing it thrice
-        # with one alias would make XLA copy the whole pool
+        # compact operand tables: a/b are gathered into per-chunk dense
+        # arrays OUTSIDE the kernel (each tile ONCE — real plans reuse a
+        # tile across ~10+ pairs) so the kernel reads small sequential
+        # arrays (cast to the update dtype: half the bytes per pair for
+        # bf16) and the pool is passed exactly once (aliased dst)
         t["uniq_a"] = np.unique(t["ga"])
         t["uniq_b"] = np.unique(t["gb"])
         t["ga_c"] = np.searchsorted(t["uniq_a"], t["ga"]).astype(np.int32)
@@ -328,7 +329,7 @@ def build_pipeline_schedule(ga, gb, gd, gk=None, chunk: int = 8192,
 
 
 def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype, G=1,
-                         ab=False):
+                         ab=False, compact=False):
     """ng = padded pair count (multiple of G); grid = ng // G groups.
 
     G > 1 amortizes the per-grid-step fixed cost (flag decode, DMA issue
@@ -345,7 +346,10 @@ def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype, G=1,
             ga, gb, gd, flags, rd, endw, endt = args[:7]
             refs = args[7:]
         refs = refs[1:]  # drop the input pool ref (aliased to out)
-        if ab:
+        if compact:
+            Xa, Xb = refs[0], refs[1]
+            refs = refs[2:]
+        elif ab:
             AB = refs[0]
             refs = refs[1:]
         elif cross:
@@ -355,11 +359,23 @@ def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype, G=1,
             d_ref = refs[0]
             refs = refs[1:]
         out, a_buf, b_buf, acc, asem, bsem, rsem, wsem = refs
-        if not cross and not ab:
+        if not cross and not ab and not compact:
             src = out
         i = pl.program_id(0)
 
-        if ab:
+        if compact:
+            # ga/gb hold COMPACT indices into the per-chunk operand
+            # arrays (each tile gathered once outside the kernel)
+            def a_cp(grp, u, sl):
+                return pltpu.make_async_copy(
+                    Xa.at[ga[grp * G + u]], a_buf.at[sl, u], asem.at[sl, u]
+                )
+
+            def b_cp(grp, u, sl):
+                return pltpu.make_async_copy(
+                    Xb.at[gb[grp * G + u]], b_buf.at[sl, u], bsem.at[sl, u]
+                )
+        elif ab:
             # one descriptor fetches the contiguous (2, T, T) pair slab
             def a_cp(grp, u, sl):
                 return pltpu.make_async_copy(
@@ -488,6 +504,7 @@ def gemm_scatter_pipelined(
     update_dtype=None,
     interpret=None,
     ab_pack=False,
+    compact=None,
 ):
     """pool[gd] -= op(a) @ b^T via the pipelined fused kernel.
 
@@ -499,6 +516,17 @@ def gemm_scatter_pipelined(
     """
     if interpret is None:
         interpret = _INTERPRET
+    if compact is None:
+        # measured parity-at-best on v5e even at 8x tile reuse
+        # (exp_compact.py: 6.05 vs 6.10 TF/s bf16; fp32 slightly worse)
+        # -> the ~6 TF/s plateau is DMA descriptor/latency-bound, not
+        # fetch-bandwidth-bound, and halving operand bytes buys nothing.
+        # Kept as an opt-in for future hardware.
+        import os as _os
+
+        compact = (
+            not ab_pack and _os.environ.get("PASTIX_E2_COMPACT", "0") == "1"
+        )
     T = pool.shape[1]
     cross = src_pool is not None
     scaled = d is not None
@@ -508,11 +536,13 @@ def gemm_scatter_pipelined(
         if ng == 0:
             continue
         G = int(t.get("group", 1))
-        kernel = _mk_pipelined_kernel(ng, cross and not ab_pack, scaled,
-                                      update_dtype, out_dtype, G=G,
-                                      ab=ab_pack)
+        kernel = _mk_pipelined_kernel(
+            ng, cross and not ab_pack and not compact, scaled,
+            update_dtype, out_dtype, G=G, ab=ab_pack, compact=compact,
+        )
         scalars = [
-            jnp.asarray(t["ga"]), jnp.asarray(t["gb"]),
+            jnp.asarray(t["ga_c"] if compact else t["ga"]),
+            jnp.asarray(t["gb_c"] if compact else t["gb"]),
             jnp.asarray(t["gd"]), jnp.asarray(t["flags"]),
             jnp.asarray(t["rd"]), jnp.asarray(t["endw"]),
             jnp.asarray(t["endt"]),
@@ -523,7 +553,19 @@ def gemm_scatter_pipelined(
 
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         operands = [pool]
-        if ab_pack:
+        if compact:
+            src = src_pool if src_pool is not None else pool
+            Xa = pool[jnp.asarray(t["uniq_a"])]
+            Xb = src[jnp.asarray(t["uniq_b"])]
+            if update_dtype is not None:
+                Xa = Xa.astype(update_dtype)
+                Xb = Xb.astype(update_dtype)
+            in_specs += [
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ]
+            operands += [Xa, Xb]
+        elif ab_pack:
             # contiguous (ng, 2, T, T) pair slabs: ONE descriptor fetches
             # both operands, and the kernel's reads become sequential —
             # trades an extra XLA-gather pass for DMA-issue headroom
@@ -550,6 +592,12 @@ def gemm_scatter_pipelined(
             buf_shapes = [
                 pltpu.VMEM((2, G, 2, T, T), ab_dtype),  # ab pair slots
                 pltpu.SMEM((1,), jnp.int32),  # unused b slot placeholder
+            ]
+        elif compact:
+            op_dtype = update_dtype or out_dtype
+            buf_shapes = [
+                pltpu.VMEM((2, G, T, T), op_dtype),  # a slots (compact X)
+                pltpu.VMEM((2, G, T, T), op_dtype),  # b slots (compact X)
             ]
         else:
             buf_shapes = [
