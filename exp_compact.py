@@ -62,3 +62,10 @@ for upd, tag in ((jnp.bfloat16, "bf16"), (None, "fp32-high")):
     timeit(f"compact G=2 {tag}",
            lambda p, u=upd, s=sched: gemm_scatter_pipelined(
                p, s, update_dtype=u, compact=True))
+
+print("--- slot-depth sweep (bf16, G=2) ---", flush=True)
+sched = build_pipeline_schedule(ga, gb, gd, group=2)
+for S in (2, 3, 4, 6):
+    timeit(f"pipelined G=2 S={S}",
+           lambda p, s=sched, S=S: gemm_scatter_pipelined(
+               p, s, update_dtype=jnp.bfloat16, compact=False, slots=S))

@@ -329,14 +329,16 @@ def build_pipeline_schedule(ga, gb, gd, gk=None, chunk: int = 8192,
 
 
 def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype, G=1,
-                         ab=False, compact=False):
+                         ab=False, compact=False, slots=2):
     """ng = padded pair count (multiple of G); grid = ng // G groups.
 
     G > 1 amortizes the per-grid-step fixed cost (flag decode, DMA issue
     bookkeeping) over G pairs; invalid tail pads are predicated off via
-    the _F_VALID flag bit."""
+    the _F_VALID flag bit.  ``slots``: a/b buffer depth — deeper keeps
+    more DMAs in flight (helps iff the plateau is transfer latency)."""
     cdt = update_dtype or out_dtype
     ngrp = ng // G
+    S = slots
 
     def kernel(*args):
         if scaled:
@@ -397,22 +399,27 @@ def _mk_pipelined_kernel(ng, cross, scaled, update_dtype, out_dtype, G=1,
 
         @pl.when(i == 0)
         def _():
-            for u in range(G):
-                a_cp(0, u, 0).start()
-                if not ab:
-                    b_cp(0, u, 0).start()
+            # warm-up: fill all but the last slot so steady state keeps
+            # S-1 groups' DMAs in flight
+            for g0 in range(S - 1):
+                @pl.when(g0 < ngrp)
+                def _(g0=g0):
+                    for u in range(G):
+                        a_cp(g0, u, g0 % S).start()
+                        if not ab:
+                            b_cp(g0, u, g0 % S).start()
             # warm-up read of segment 0's dst into its parity slot (0)
             pltpu.make_async_copy(out.at[gd[0]], acc.at[0], rsem.at[0]).start()
 
-        @pl.when(i + 1 < ngrp)
+        @pl.when(i + S - 1 < ngrp)
         def _():
-            sl = (i + 1) % 2
+            sl = (i + S - 1) % S
             for u in range(G):
-                a_cp(i + 1, u, sl).start()
+                a_cp(i + S - 1, u, sl).start()
                 if not ab:
-                    b_cp(i + 1, u, sl).start()
+                    b_cp(i + S - 1, u, sl).start()
 
-        sl = i % 2
+        sl = i % S
         for u in range(G):
             j = i * G + u
             f = flags[j]
@@ -505,6 +512,7 @@ def gemm_scatter_pipelined(
     interpret=None,
     ab_pack=False,
     compact=None,
+    slots=None,
 ):
     """pool[gd] -= op(a) @ b^T via the pipelined fused kernel.
 
@@ -516,6 +524,10 @@ def gemm_scatter_pipelined(
     """
     if interpret is None:
         interpret = _INTERPRET
+    if slots is None:
+        import os as _os_s
+
+        slots = int(_os_s.environ.get("PASTIX_E2_SLOTS", "2"))
     if compact is None:
         # measured parity-at-best on v5e even at 8x tile reuse
         # (exp_compact.py: 6.05 vs 6.10 TF/s bf16; fp32 slightly worse)
@@ -539,6 +551,7 @@ def gemm_scatter_pipelined(
         kernel = _mk_pipelined_kernel(
             ng, cross and not ab_pack and not compact, scaled,
             update_dtype, out_dtype, G=G, ab=ab_pack, compact=compact,
+            slots=slots,
         )
         scalars = [
             jnp.asarray(t["ga_c"] if compact else t["ga"]),
@@ -587,22 +600,23 @@ def gemm_scatter_pipelined(
             in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
             operands.append(d)
 
+        S = slots
         if ab_pack:
             ab_dtype = update_dtype or out_dtype
             buf_shapes = [
-                pltpu.VMEM((2, G, 2, T, T), ab_dtype),  # ab pair slots
+                pltpu.VMEM((S, G, 2, T, T), ab_dtype),  # ab pair slots
                 pltpu.SMEM((1,), jnp.int32),  # unused b slot placeholder
             ]
         elif compact:
             op_dtype = update_dtype or out_dtype
             buf_shapes = [
-                pltpu.VMEM((2, G, T, T), op_dtype),  # a slots (compact X)
-                pltpu.VMEM((2, G, T, T), op_dtype),  # b slots (compact X)
+                pltpu.VMEM((S, G, T, T), op_dtype),  # a slots (compact X)
+                pltpu.VMEM((S, G, T, T), op_dtype),  # b slots (compact X)
             ]
         else:
             buf_shapes = [
-                pltpu.VMEM((2, G, T, T), out_dtype),  # a slots
-                pltpu.VMEM((2, G, T, T), out_dtype),  # b slots
+                pltpu.VMEM((S, G, T, T), out_dtype),  # a slots
+                pltpu.VMEM((S, G, T, T), out_dtype),  # b slots
             ]
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=nsc,
@@ -611,8 +625,8 @@ def gemm_scatter_pipelined(
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=buf_shapes + [
                 pltpu.VMEM((2, T, T), out_dtype),  # dst accumulators
-                pltpu.SemaphoreType.DMA((2, G)),
-                pltpu.SemaphoreType.DMA((2, G)),
+                pltpu.SemaphoreType.DMA((S, G)),
+                pltpu.SemaphoreType.DMA((S, G)),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
