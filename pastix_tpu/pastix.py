@@ -467,6 +467,49 @@ class Pastix:
                         use_tail = True
                         if cfg.io_strategy == IOStrategy.SAVE:
                             self.layout.save(layout_path)
+        elif (
+            cfg.mesh_shape is None
+            and self._schur_first_bcol is None
+            and not cfg.incomplete
+            and (
+                (cfg.factorization == Factorization.LLT and self._hermitian)
+                or cfg.factorization
+                in (Factorization.LDLT, Factorization.LDLH, Factorization.LU)
+            )
+        ):
+            # auto-OOC rescue: a pool beyond the HBM budget would OOM at
+            # factorize on an accelerator — stream it instead (the
+            # reference simply fails without IPARM_OOC_LIMIT; here host
+            # RAM is the working bound)
+            import jax as _jx_ooc
+
+            on_accel = _jx_ooc.default_backend() != "cpu" or bool(
+                os.environ.get("PASTIX_FORCE_AUTO_OOC")
+            )
+            dtype_bytes = np.dtype(cfg.compute_dtype).itemsize
+            is_lu = cfg.factorization == Factorization.LU
+            npools = 2 if is_lu else 1
+            pool_bytes = (
+                self.layout.npool * self.layout.T ** 2 * dtype_bytes * npools
+            )
+            hbm = float(os.environ.get("PASTIX_HBM_GB", "13")) * 2**30
+            if on_accel and pool_bytes > hbm:
+                from pastix_tpu.numeric.ooc import plan_ooc
+
+                self._ooc_stream = True
+                use_tail = False
+                self._ooc_plan = plan_ooc(
+                    self.layout, int(hbm), dtype_bytes=dtype_bytes,
+                    two_pools=is_lu,
+                )
+                if cfg.verbosity >= Verbosity.NO:
+                    print(
+                        f"[pastix-tpu] pool "
+                        f"({pool_bytes / 2**30:.1f} GiB x{npools}) exceeds "
+                        f"the HBM budget ({hbm / 2**30:.0f} GiB): "
+                        f"auto-streaming in "
+                        f"{len(self._ooc_plan.segments)} OOC segments"
+                    )
         # --- device mesh (IPARM-level distribution transparency) --------
         # mesh_shape routes factorize/solve/refine through the sharded
         # builders (parallel/sharded.py); the same config solves on one

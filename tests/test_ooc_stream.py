@@ -161,3 +161,19 @@ def test_ooc_stream_ldlt_matches_resident():
         A, PastixConfig(tile_size=16, factorization=Factorization.LDLT)
     ).solve(b)
     np.testing.assert_allclose(x, x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_auto_ooc_rescue(monkeypatch):
+    """A pool beyond the HBM budget streams automatically (no
+    IPARM_OOC_LIMIT needed) instead of OOMing at factorize — the
+    accelerator guard is forced for the CPU test."""
+    monkeypatch.setenv("PASTIX_FORCE_AUTO_OOC", "1")
+    monkeypatch.setenv("PASTIX_HBM_GB", "0.001")  # ~1 MiB
+    A = poisson_3d(14)
+    s = Pastix(A, PastixConfig(tile_size=16))
+    b = A.to_scipy() @ np.ones(A.n)
+    x = s.solve(b)
+    assert s._ooc_plan is not None
+    assert len(s._ooc_plan.segments) > 1
+    assert getattr(s.factors, "_streamed", False)
+    assert np.abs(x - 1).max() < 1e-8
