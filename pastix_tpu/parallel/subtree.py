@@ -185,6 +185,7 @@ def _local_tables(layout: SolverLayout, owner: np.ndarray, ndev: int):
         # gemm triple belongs to the device owning its source column (J);
         # source col of a triple is gemm_k
         g_src_owner = owner[lv.gemm_k] if lv.gemm_k.size else np.empty(0)
+        dtc, dgk = [], []
         for d in range(ndev):
             cm = col_owner_lv == d
             dcols.append(lv.cols[cm])
@@ -192,11 +193,13 @@ def _local_tables(layout: SolverLayout, owner: np.ndarray, ndev: int):
             tm = tp_owner == d if tp_owner.size else np.empty(0, bool)
             dtp.append(lv.trsm_panel[tm])
             dtd.append(lv.trsm_diag[tm])
+            dtc.append(lv.trsm_col[tm])
             gm = g_src_owner == d if lv.gemm_k.size else np.empty(0, bool)
             gml = gm & ~g_shared
             gms = gm & g_shared
             dga.append(np.concatenate([lv.gemm_a[gml], lv.gemm_a[gms]]))
             dgb.append(np.concatenate([lv.gemm_b[gml], lv.gemm_b[gms]]))
+            dgk.append(np.concatenate([lv.gemm_k[gml], lv.gemm_k[gms]]))
             # local targets scatter into the pool; shared ones into the
             # boundary acc (encoded as npool + position)
             dgd.append(
@@ -213,10 +216,13 @@ def _local_tables(layout: SolverLayout, owner: np.ndarray, ndev: int):
         levels_out.append(
             {
                 "diag": pad_stack(ddiag, oob),
+                "cols": pad_stack(dcols, nbc),
                 "tp": pad_stack(dtp, oob),
                 "td": pad_stack(dtd, oob),
+                "tc": pad_stack(dtc, nbc),
                 "ga": pad_stack(dga, 0),
                 "gb": pad_stack(dgb, 0),
+                "gk": pad_stack(dgk, nbc),
                 # junk contributions land in the sacrificial acc slot
                 "gd": pad_stack(dgd, npool + nb),
             }
@@ -232,17 +238,8 @@ def _local_tables(layout: SolverLayout, owner: np.ndarray, ndev: int):
     return levels_out, boundary, mask
 
 
-def build_subtree_factorize_llt(
-    layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp"
-):
-    """LL^T with proportional subtree mapping: local phase (no collectives)
-    -> one boundary psum -> shared top phase -> masked pool merge."""
-    ndev = mesh.shape[tp_axis]
-    owner = proportional_mapping(layout, ndev)
-    loc_levels, boundary, mask = _local_tables(layout, owner, ndev)
-    T, npool, nb = layout.T, layout.npool, boundary.size
-
-    # shared phase: the flat per-level scheme restricted to shared columns
+def _shared_split(layout: SolverLayout, owner: np.ndarray, ndev: int):
+    """Shared-column sublayout + flat shard tables for the top phase."""
     from pastix_tpu.parallel.sharded import _shard_tables
 
     is_shared_col = owner == -1
@@ -270,7 +267,21 @@ def build_subtree_factorize_llt(
             )
         )
     shared_layout = _dc.replace(layout, levels=shared_levels)
-    shared_tabs = _shard_tables(shared_layout, ndev)
+    return shared_levels, _shard_tables(shared_layout, ndev)
+
+
+def build_subtree_factorize_llt(
+    layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp"
+):
+    """LL^T with proportional subtree mapping: local phase (no collectives)
+    -> one boundary psum -> shared top phase -> masked pool merge."""
+    ndev = mesh.shape[tp_axis]
+    owner = proportional_mapping(layout, ndev)
+    loc_levels, boundary, mask = _local_tables(layout, owner, ndev)
+    T, npool, nb = layout.T, layout.npool, boundary.size
+
+    # shared phase: the flat per-level scheme restricted to shared columns
+    shared_levels, shared_tabs = _shared_split(layout, owner, ndev)
 
     def fact_local(pool):
         me = lax.axis_index(tp_axis)
@@ -331,5 +342,150 @@ def build_subtree_factorize_llt(
 
     fn = jax.shard_map(
         fact_local, mesh=mesh, in_specs=P(), out_specs=P(), check_vma=False
+    )
+    return jax.jit(fn)
+
+
+def build_subtree_factorize_ldlt(
+    layout: SolverLayout, mesh: Mesh, tp_axis: str = "tp",
+    hermitian: bool = False,
+):
+    """LDL^T with proportional subtree mapping (the LLT scheme with
+    unit-lower/diagonal-pivot kernels): local subtree phase with local d
+    entries, one boundary psum, shared top phase, masked pool + d merge.
+    Returns fn(pool, eps) -> (pool, d, npiv)."""
+    from pastix_tpu.numeric.factorize import _sym_lower
+
+    ndev = mesh.shape[tp_axis]
+    owner = proportional_mapping(layout, ndev)
+    loc_levels, boundary, mask = _local_tables(layout, owner, ndev)
+    T, npool, nb, nbc = layout.T, layout.npool, boundary.size, layout.nbc
+    shared_levels, shared_tabs = _shared_split(layout, owner, ndev)
+    shared_extra = [
+        {
+            "tc": np.asarray(lv.trsm_col, np.int32),
+            "cols": np.asarray(lv.cols, np.int32),
+        }
+        for lv in shared_levels
+    ]
+    gk_sharded = []
+    for lv in shared_levels:
+        ng = lv.gemm_a.size
+        per = -(-max(ng, 1) // ndev)
+        pad = per * ndev - ng
+        gk = np.concatenate(
+            [np.asarray(lv.gemm_k), np.full(pad, nbc, np.int64)]
+        ) if ng else np.full(per * ndev, nbc, np.int64)
+        gk_sharded.append(np.asarray(gk.reshape(ndev, per), np.int32))
+
+    # d merge mask: local columns belong to their owner; shared columns are
+    # computed identically everywhere -> attribute them to device 0
+    col_owner = owner.copy()
+    dmask = np.zeros((ndev, nbc), np.float32)
+    for d in range(ndev):
+        dmask[d] = (col_owner == d) | ((col_owner == -1) & (d == 0))
+
+    def fact_local(pool, eps):
+        me = lax.axis_index(tp_axis)
+        acc = jnp.zeros((nb + 1, T, T), pool.dtype)
+        buf = jnp.concatenate([pool, acc], axis=0)
+        d_arr = jnp.ones((nbc, T), pool.dtype)
+        npiv = jnp.int32(0)
+
+        # ---- local phase: zero collectives ----
+        for t in loc_levels:
+            diag_idx = jnp.asarray(t["diag"])[me]
+            cols_me = jnp.asarray(t["cols"])[me]
+            L, d, piv = K.ldlt_batch(
+                _sym_lower(buf[diag_idx], hermitian), eps, hermitian
+            )
+            buf = buf.at[diag_idx].set(L)
+            d_arr = d_arr.at[cols_me].set(d)
+            npiv = npiv + jnp.where(cols_me < nbc, piv, 0).sum(
+                dtype=jnp.int32
+            )
+            tp = jnp.asarray(t["tp"])[me]
+            tc_me = jnp.asarray(t["tc"])[me]
+            panels = K.trsm_ldlt(
+                buf[tp], buf[jnp.asarray(t["td"])[me]],
+                d_arr[jnp.minimum(tc_me, nbc - 1)], hermitian=hermitian,
+            )
+            buf = buf.at[tp].set(panels)
+            ga = jnp.asarray(t["ga"])[me]
+            gb = jnp.asarray(t["gb"])[me]
+            gd = jnp.asarray(t["gd"])[me]
+            gk = jnp.asarray(t["gk"])[me]
+            a = buf[ga] * d_arr[jnp.minimum(gk, nbc - 1)][:, None, :]
+            b = buf[gb]
+            if hermitian and jnp.iscomplexobj(b):
+                b = jnp.conj(b)
+            contrib = jnp.einsum(
+                "bij,bkj->bik", a, b,
+                preferred_element_type=buf.dtype,
+                precision=K.matmul_precision(),
+            )
+            buf = buf.at[gd].add(-contrib)
+
+        # ---- single boundary fan-in ----
+        pool = buf[:npool]
+        if nb:
+            bnd = lax.psum(buf[npool : npool + nb], tp_axis)
+            pool = pool.at[jnp.asarray(boundary.astype(np.int32))].add(bnd)
+
+        # ---- shared top phase (bulk-synchronous, like sharded LDLT) ----
+        for t, ex, gks in zip(shared_tabs, shared_extra, gk_sharded):
+            if t["tp"].size:
+                L, d, dinv, piv = K.ldlt_inv_batch(
+                    _sym_lower(pool[t["diag"]], hermitian), eps, hermitian
+                )
+            else:
+                L, d, piv = K.ldlt_batch(
+                    _sym_lower(pool[t["diag"]], hermitian), eps, hermitian
+                )
+            pool = pool.at[t["diag"]].set(L)
+            d_arr = d_arr.at[ex["cols"]].set(d)
+            # shared pivots are computed identically on every device:
+            # count them on device 0 only (the d merge does the same)
+            npiv = npiv + jnp.where(me == 0, piv.sum(dtype=jnp.int32), 0)
+            if t["tp"].size:
+                inv_p = dinv[t["tcpos"]]
+                if hermitian and jnp.iscomplexobj(pool):
+                    inv_p = jnp.conj(inv_p)
+                panels = jnp.einsum(
+                    "bij,bkj->bik", pool[t["tp"]], inv_p,
+                    preferred_element_type=pool.dtype,
+                    precision=K.matmul_precision(),
+                ) / d_arr[ex["tc"]][:, None, :]
+                pool = pool.at[t["tp"]].set(panels)
+            if t["ntouch"]:
+                ga = jnp.asarray(t["ga"])[me]
+                gb = jnp.asarray(t["gb"])[me]
+                gp = jnp.asarray(t["gp"])[me]
+                gk = jnp.asarray(gks)[me]
+                a = pool[ga] * d_arr[jnp.minimum(gk, nbc - 1)][:, None, :]
+                b = pool[gb]
+                if hermitian and jnp.iscomplexobj(b):
+                    b = jnp.conj(b)
+                contrib = jnp.einsum(
+                    "bij,bkj->bik", a, b,
+                    preferred_element_type=pool.dtype,
+                    precision=K.matmul_precision(),
+                )
+                acc2 = jnp.zeros((t["ntouch"] + 1, T, T), pool.dtype)
+                acc2 = acc2.at[gp].add(contrib)
+                acc2 = lax.psum(acc2, tp_axis)
+                pool = pool.at[t["touched"]].add(-acc2[: t["ntouch"]])
+
+        # ---- reconcile pool, d and the pivot count ----
+        m = jnp.asarray(mask)[me][:, None, None]
+        pool = lax.psum(pool * m, tp_axis)
+        dm = jnp.asarray(dmask)[me][:, None]
+        d_arr = lax.psum(d_arr * dm, tp_axis)
+        npiv = lax.psum(npiv, tp_axis)
+        return pool, d_arr, npiv
+
+    fn = jax.shard_map(
+        fact_local, mesh=mesh, in_specs=(P(), P()),
+        out_specs=(P(), P(), P()), check_vma=False,
     )
     return jax.jit(fn)

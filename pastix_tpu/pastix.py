@@ -382,7 +382,8 @@ class Pastix:
         use_subtree = (
             cfg.mesh_shape is not None
             and cfg.dist_strategy == "subtree"
-            and cfg.factorization == Factorization.LLT
+            and cfg.factorization
+            in (Factorization.LLT, Factorization.LDLT)
             and not np.issubdtype(
                 np.dtype(cfg.compute_dtype), np.complexfloating
             )
@@ -644,6 +645,15 @@ class Pastix:
 
                 self._fact_fn = build_subtree_factorize_llt(
                     self.layout, self._mesh, tp_axis=self._tp_axis,
+                )
+            elif cfg.factorization == Factorization.LDLT and use_subtree:
+                from pastix_tpu.parallel.subtree import (
+                    build_subtree_factorize_ldlt,
+                )
+
+                self._fact_fn = build_subtree_factorize_ldlt(
+                    self.layout, self._mesh, tp_axis=self._tp_axis,
+                    hermitian=self._hermitian,
                 )
             elif use_owner:
                 # owner-computes over a SHARDED pool: per-device memory

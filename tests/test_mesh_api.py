@@ -274,3 +274,27 @@ def test_mesh_schur_uses_replicated_pool():
     assert s2._pool_sharding is None  # replicated fallback taken
     S2 = s2.get_schur()
     np.testing.assert_allclose(S2, S1, rtol=1e-5, atol=1e-7)
+
+
+def test_mesh_subtree_ldlt_end_to_end():
+    """dist_strategy="subtree" now covers LDL^T too: local subtree phase
+    with local pivots, one boundary psum, shared top phase, masked
+    pool/d/npiv merge."""
+    A = poisson_3d(8)
+    S = A.to_scipy()
+    b = S @ np.arange(1, A.n + 1, dtype=float)
+    solver = Pastix(
+        A,
+        PastixConfig(
+            tile_size=8, factorization=Factorization.LDLT,
+            mesh_shape=(8,), dist_strategy="subtree",
+        ),
+    )
+    x = solver.solve(b)
+    assert solver._mesh is not None
+    res = np.linalg.norm(S @ x - b) / np.linalg.norm(b)
+    assert res < 1e-9
+    x1 = Pastix(
+        A, PastixConfig(tile_size=8, factorization=Factorization.LDLT)
+    ).solve(b)
+    np.testing.assert_allclose(x, x1, rtol=1e-5, atol=1e-7)
