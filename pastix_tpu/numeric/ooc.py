@@ -587,13 +587,19 @@ def solve_ooc(
                 f = build_segment_solve_fns_lu(layout, seg)
                 seg._solve_fns_lu = f
             fns.append(f)
+        def _sync_lu(v):
+            np.asarray(v.ravel()[-1:])  # see _sync below: free windows
+            return v
+
         for seg, (fwd, _) in zip(plan.segments, fns):
-            y = fwd(jnp.asarray(host_pool[seg.win]), y)
+            win = jnp.asarray(host_pool[seg.win])
+            y = _sync_lu(fwd(win, y))
+            del win
         for seg, (_, bwd) in zip(reversed(plan.segments), reversed(fns)):
-            y = bwd(
-                jnp.asarray(host_pool_u[seg.win]),
-                jnp.asarray(host_pool[seg.win]), y,
-            )
+            win_u = jnp.asarray(host_pool_u[seg.win])
+            win_l = jnp.asarray(host_pool[seg.win])
+            y = _sync_lu(bwd(win_u, win_l, y))
+            del win_u, win_l
         return np.asarray(y)
     unit = d is not None
     y = jnp.asarray(b_blocks)
@@ -607,12 +613,22 @@ def solve_ooc(
             )
             setattr(seg, cache, f)
         fns.append(f)
+    def _sync(v):
+        # force completion (block_until_ready is unreliable on the
+        # remote-TPU tunnel) so the previous window's buffer can free
+        # BEFORE the next ~10 GB window uploads — holding two windows
+        # at once OOM'd the 1.33M auto-OOC solve
+        np.asarray(v.ravel()[-1:])
+        return v
+
     for seg, (fwd, _) in zip(plan.segments, fns):
         win = jnp.asarray(host_pool[seg.win])
-        y = fwd(win, y)
+        y = _sync(fwd(win, y))
+        del win
     if unit:
         y = y / jnp.asarray(d)[..., None]
     for seg, (_, bwd) in zip(reversed(plan.segments), reversed(fns)):
         win = jnp.asarray(host_pool[seg.win])
-        y = bwd(win, y)
+        y = _sync(bwd(win, y))
+        del win
     return np.asarray(y)
