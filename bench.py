@@ -196,20 +196,47 @@ def bench():
     )
     log(f"jax devices: {jax.devices()}")
 
-    from pastix_tpu.generators import poisson_3d
+    from pastix_tpu.generators import (
+        poisson_3d, elasticity_3d, convection_diffusion_3d)
     from pastix_tpu.pastix import Pastix
-    from pastix_tpu.config import PastixConfig
+    from pastix_tpu.config import PastixConfig, Factorization
+
+    # ---- config ladder selection (BASELINE.md rungs 2-4) ----
+    # PASTIX_BENCH_CONFIG=poisson (default flagship) | elas3 | convdiff;
+    # the non-default rungs expect PASTIX_BENCH_NX (their cost/nx curves
+    # differ from the Poisson ladder's)
+    cfg_name = os.environ.get("PASTIX_BENCH_CONFIG", "poisson")
+    if cfg_name == "elas3":
+        GEN_IMPORT = "elasticity_3d"
+        GEN_EXPR = f"elasticity_3d({nx})"
+        gen, gen_kw = elasticity_3d, {"dof_nbr": 3}
+        fact_kind = Factorization.LLT
+    elif cfg_name == "convdiff":
+        GEN_IMPORT = "convection_diffusion_3d"
+        GEN_EXPR = f"convection_diffusion_3d({nx})"
+        gen, gen_kw = convection_diffusion_3d, {}
+        fact_kind = Factorization.LU
+    else:
+        GEN_IMPORT = "poisson_3d"
+        GEN_EXPR = f"poisson_3d({nx})"
+        gen, gen_kw = poisson_3d, {}
+        fact_kind = Factorization.LLT
 
     # ---- concurrent scipy-splu baseline (host CPU, own process) ----
     import subprocess as _sp
 
     splu_code = (
-        "import time, numpy as np, scipy.sparse as sp\n"
+        "import time\n"
+        "t00 = time.perf_counter()\n"
+        "import numpy as np, scipy.sparse as sp\n"
         "from scipy.sparse.linalg import splu\n"
-        "from pastix_tpu.generators import poisson_3d\n"
-        f"A = poisson_3d({nx}).to_scipy().tocsc()\n"
+        f"from pastix_tpu.generators import {GEN_IMPORT}\n"
+        f"A = {GEN_EXPR}.to_scipy().tocsc()\n"
+        # BUILT marker: the floor computation must not charge import +
+        # matrix-build time to the baseline (ADVICE r3)
+        "print('BUILT', time.perf_counter() - t00, flush=True)\n"
         "t0 = time.perf_counter(); splu(A)\n"
-        "print(time.perf_counter() - t0)\n"
+        "print('DONE', time.perf_counter() - t0, flush=True)\n"
     )
     splu_t0 = time.perf_counter()
     # lowest priority + single-thread BLAS: the baseline must not steal
@@ -223,7 +250,7 @@ def bench():
         env=dict(os.environ, OMP_NUM_THREADS="1", OPENBLAS_NUM_THREADS="1"),
     )
 
-    A = poisson_3d(nx)
+    A = gen(nx)
     n = A.n
     # T=128 measured fastest on the TPU v5e (BASELINE.md section 4).
     # bf16 trailing updates (the BASELINE ladder-5 mixed precision) shave
@@ -233,6 +260,8 @@ def bench():
     kw = {
         "tile_size": int(os.environ.get("PASTIX_BENCH_T", "128")),
         "update_dtype": upd,
+        "factorization": fact_kind,
+        **gen_kw,
     }
     cfg = PastixConfig(**kw)
 
@@ -251,7 +280,9 @@ def bench():
     t_an = time.perf_counter() - t0
     layout = solver.layout
     T = layout.T
-    flops_padded = layout.padded_flops("llt")
+    # executed device flops: full-tile padded count minus the slab
+    # kernel's row-bounded savings (report.fact_flops_padded is adjusted)
+    flops_padded = solver.report.fact_flops_padded
     log(
         f"n={n} T={T} tiles={layout.npool} levels={len(layout.levels)} "
         f"nnz(L)={nnz_l} flops={flops_exact:.3e} padded={flops_padded:.3e} "
@@ -259,6 +290,19 @@ def bench():
     )
 
     fact = solver._fact_fn
+    for_lu = fact_kind == Factorization.LU
+    if for_lu:
+        import scipy.sparse as _ssp_lu
+
+        anorm = float(abs(solver._A_perm).max())
+        eps = jnp.asarray(
+            cfg.static_pivoting_threshold * anorm, np.float32
+        )
+
+        def run_fact(pin):
+            return fact(pin[0], pin[1], eps)[0]
+    else:
+        run_fact = fact
 
     def sync(x):
         # block_until_ready is unreliable on the experimental remote-TPU
@@ -274,7 +318,7 @@ def bench():
     vals = jnp.asarray(_ssp.coo_matrix(solver._A_perm).data.astype(np.float32))
     t0 = time.perf_counter()
     pool_in = solver._coef_fn(vals)
-    sync(pool_in)
+    sync(pool_in[0] if for_lu else pool_in)
     log(f"device coefinit (compile+run): {time.perf_counter() - t0:.1f}s")
 
     # the factorize program donates its input buffer; at the 1M-dof
@@ -282,7 +326,7 @@ def bench():
     # the working copy would blow HBM — rebuild the pool from the nnz
     # values per rep instead (a scatter, untimed)
     t0 = time.perf_counter()
-    out = fact(pool_in)
+    out = run_fact(pool_in)
     sync(out)
     t_first = time.perf_counter() - t0
     log(f"first call (compile+run): {t_first:.1f}s")
@@ -294,9 +338,9 @@ def bench():
             break
         del out
         pool_in = solver._coef_fn(vals)
-        sync(pool_in)
+        sync(pool_in[0] if for_lu else pool_in)
         t0 = time.perf_counter()
-        out = fact(pool_in)
+        out = run_fact(pool_in)
         sync(out)
         times.append(time.perf_counter() - t0)
     t_fact = min(times) if times else t_first
@@ -322,23 +366,44 @@ def bench():
             splu_proc.wait(timeout=grace)
         except _sp.TimeoutExpired:
             pass
+    def _splu_lines():
+        try:
+            return dict(
+                ln.split() for ln in splu_proc.stdout.read().strip().splitlines()
+                if ln.strip()
+            )
+        except (ValueError, OSError):
+            return {}
+
     if splu_proc.poll() is None:
-        t_scipy = time.perf_counter() - splu_t0
-        splu_floor = True
+        elapsed = time.perf_counter() - splu_t0
         splu_proc.kill()
+        splu_proc.wait()
+        marks = _splu_lines()
+        # subtract the child's import+build time (BUILT marker) so the
+        # floor charges only factor time to the baseline (ADVICE r3)
+        built = float(marks.get("BUILT", 0.0))
+        t_scipy = max(elapsed - built, 1e-9)
+        splu_floor = True
         log(
-            f"scipy splu still running after {t_scipy:.0f}s -> floor "
-            f"speedup {t_scipy / t_fact:.1f}x (true value larger)"
+            f"scipy splu still factoring after {t_scipy:.0f}s (+{built:.0f}s "
+            f"build) -> floor speedup {t_scipy / t_fact:.1f}x (true value "
+            f"larger)"
         )
     else:
-        try:
-            t_scipy = float(splu_proc.stdout.read().strip().splitlines()[-1])
+        marks = _splu_lines()
+        if "DONE" in marks:
+            t_scipy = float(marks["DONE"])
             log(
                 f"scipy splu factor: {t_scipy:.2f}s -> "
                 f"speedup {t_scipy / t_fact:.2f}x"
             )
-        except (ValueError, IndexError):
-            t_scipy = time.perf_counter() - splu_t0
+        else:
+            t_scipy = max(
+                time.perf_counter() - splu_t0
+                - float(marks.get("BUILT", 0.0)),
+                1e-9,
+            )
             splu_floor = True
             log("scipy splu died; reporting its elapsed time as the floor")
 
@@ -355,6 +420,7 @@ def bench():
                 "fact_ms": round(t_fact * 1e3, 2),
                 "padded_over_useful": round(flops_padded / flops_exact, 2),
                 "n": n,
+                "config": cfg_name,
             }
         ),
         flush=True,
@@ -381,6 +447,30 @@ def bench():
         )
         if res > 1e-9:
             log(f"WARNING: residual {res:.2e} above 1e-9 gate")
+        # steady-state solve+refine (programs now compiled; solve()
+        # returns a host array, which forces device completion) — the
+        # DPARM_SOLV_TIME / DPARM_RAFF_TIME analog the driver records
+        # from this follow-up line (VERDICT r3 item 3)
+        if time.time() < deadline - 15:
+            t0 = time.perf_counter()
+            x = solver.solve(b)
+            t_steady = time.perf_counter() - t0
+            log(
+                "followup "
+                + json.dumps(
+                    {
+                        "solve_ms": round(
+                            solver.report.solve_time * 1e3, 1
+                        ),
+                        "refine_ms": round(
+                            solver.report.refine_time * 1e3, 1
+                        ),
+                        "solve_total_steady_ms": round(t_steady * 1e3, 1),
+                        "refine_iters": solver.report.refine_iters,
+                        "residual": f"{res:.2e}",
+                    }
+                )
+            )
     except Exception as e:
         log(f"solve/residual check failed: {str(e)[:200]}")
 

@@ -87,6 +87,78 @@ def tile_symbolic_ilu(
     return blk_row, blk_col, sched, nbc
 
 
+def tile_row_bounds(
+    pattern: sp.csc_matrix, T: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Conservative per-tile scalar row-support bounds of L.
+
+    Runs the same block-column quotient merge as :func:`tile_symbolic`
+    but carries, per stored tile (I, J), the min/max scalar row of the
+    column's union support inside the tile's 128-row window.  Every
+    structurally nonzero row r of L in tile (I, J) satisfies
+    ``rlo <= r - I*T <= rhi`` (bounds of a union are a superset of the
+    exact scalar fill, which the quotient support over-approximates
+    anyway).  Diagonal tiles are reported full ``(0, T-1)`` — identity
+    padding and the factor's diagonal live there.
+
+    Returns ``(keys, rlo, rhi, nbc)`` with ``keys = col*nbc + row``
+    sorted ascending (align to a layout's tile list via searchsorted;
+    tiles absent from the merge — e.g. dense-tail explicit zeros — must
+    fall back to full bounds).
+
+    The bounds feed the slab E2 kernel's row-bounded sub-matmuls
+    (numeric/slab_kernels.py): the MXU streams sublane rows, so skipping
+    support-empty rows of the ``a`` operand converts padded flops into
+    real time (the splitpart/IPARM_MIN_BLOCKSIZE analog at sub-tile
+    granularity — reference src/blend/src/splitpart.c).
+    """
+    n = pattern.shape[0]
+    nbc = -(-n // T)
+    A = sp.coo_matrix(sp.tril(pattern))
+    J_all = (A.col // T).astype(np.int64)
+    order = np.argsort(J_all, kind="stable")
+    r_all, J_srt = A.row[order].astype(np.int64), J_all[order]
+    ptr = np.searchsorted(J_srt, np.arange(nbc + 1))
+
+    pend_t: list[list[np.ndarray]] = [[] for _ in range(nbc)]
+    pend_lo: list[list[np.ndarray]] = [[] for _ in range(nbc)]
+    pend_hi: list[list[np.ndarray]] = [[] for _ in range(nbc)]
+    out_keys, out_lo, out_hi = [], [], []
+    for J in range(nbc):
+        r = r_all[ptr[J] : ptr[J + 1]]
+        t0 = r // T
+        lo0 = r % T
+        tiles = np.concatenate([t0, [J]] + pend_t[J])
+        lo = np.concatenate([lo0, [0]] + pend_lo[J])
+        hi = np.concatenate([lo0, [T - 1]] + pend_hi[J])
+        pend_t[J] = pend_lo[J] = pend_hi[J] = None  # type: ignore
+        uniq, inv = np.unique(tiles, return_inverse=True)
+        ulo = np.full(uniq.size, T, np.int64)
+        uhi = np.full(uniq.size, -1, np.int64)
+        np.minimum.at(ulo, inv, lo)
+        np.maximum.at(uhi, inv, hi)
+        # diagonal tile is always full (identity padding, factor diagonal)
+        dpos = np.searchsorted(uniq, J)
+        ulo[dpos] = 0
+        uhi[dpos] = T - 1
+        out_keys.append(uniq * 0 + np.int64(J) * nbc + uniq)
+        out_lo.append(ulo)
+        out_hi.append(uhi)
+        off = uniq[dpos + 1 :]
+        if off.size:
+            parent = int(off[0])
+            pend_t[parent].append(off)
+            pend_lo[parent].append(ulo[dpos + 1 :])
+            pend_hi[parent].append(uhi[dpos + 1 :])
+    keys = np.concatenate(out_keys)
+    rlo = np.concatenate(out_lo)
+    rhi = np.concatenate(out_hi)
+    order = np.argsort(keys)
+    return keys[order], rlo[order].astype(np.int32), rhi[
+        order
+    ].astype(np.int32), nbc
+
+
 def tile_symbolic(
     pattern: sp.csc_matrix, T: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:

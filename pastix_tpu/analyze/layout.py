@@ -59,6 +59,12 @@ class SolverLayout:
     scat_vals_order_u: Optional[np.ndarray]
     diag_pad_flat: np.ndarray  # int64[npad] identity positions for padding
     nnz_l_tiles: int = 0
+    # conservative per-tile scalar row-support bounds (blocksym.
+    # tile_row_bounds): feed the slab E2 kernel's row-bounded sub-matmuls;
+    # None on loaded legacy layouts / ILU patterns (kernels fall back to
+    # full-height tiles)
+    row_lo: Optional[np.ndarray] = None  # int32[npool]
+    row_hi: Optional[np.ndarray] = None  # int32[npool]
 
     @property
     def pool_shape(self):
@@ -132,6 +138,9 @@ class SolverLayout:
             "nlev": np.asarray(len(self.levels)),
             "has_u": np.asarray(self.scat_pool_flat_u is not None),
         }
+        if self.row_lo is not None:
+            arrs["row_lo"] = self.row_lo
+            arrs["row_hi"] = self.row_hi
         if self.scat_pool_flat_u is not None:
             arrs["scat_pool_flat_u"] = self.scat_pool_flat_u
             arrs["scat_vals_order_u"] = self.scat_vals_order_u
@@ -170,6 +179,8 @@ class SolverLayout:
             scat_vals_order_u=z["scat_vals_order_u"] if has_u else None,
             diag_pad_flat=z["diag_pad_flat"],
             nnz_l_tiles=int(z["nnz_l_tiles"]),
+            row_lo=z["row_lo"] if "row_lo" in z.files else None,
+            row_hi=z["row_hi"] if "row_hi" in z.files else None,
         )
         return lay
 
@@ -466,6 +477,21 @@ def build_layout(
     pdiag = diag_of_col[pad // T]
     diag_pad_flat = pdiag * (T * T) + (pad % T) * T + (pad % T)
 
+    # per-tile scalar row-support bounds for the slab kernel's row-bounded
+    # sub-matmuls (sub-tile splitpart analog); tiles absent from the merge
+    # (dense-tail explicit zeros) conservatively report full height
+    row_lo = row_hi = None
+    if not incomplete:
+        from pastix_tpu.analyze.blocksym import tile_row_bounds
+
+        bk, blo, bhi, _ = tile_row_bounds(pattern, T)
+        row_lo = np.zeros(npool, np.int32)
+        row_hi = np.full(npool, T - 1, np.int32)
+        pos = np.searchsorted(bk, keys)
+        hit = (pos < bk.size) & (bk[np.minimum(pos, bk.size - 1)] == keys)
+        row_lo[hit] = blo[pos[hit]]
+        row_hi[hit] = bhi[pos[hit]]
+
     return SolverLayout(
         n=n,
         T=T,
@@ -482,4 +508,6 @@ def build_layout(
         scat_vals_order_u=scat_u_ord,
         diag_pad_flat=diag_pad_flat,
         nnz_l_tiles=npool,
+        row_lo=row_lo,
+        row_hi=row_hi,
     )

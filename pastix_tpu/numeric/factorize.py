@@ -203,7 +203,7 @@ def _scan_chunks(carry, tables, fills, body, chunk=None):
     return carry
 
 
-def _unroll_tables(lv, use_pallas: bool = False):
+def _unroll_tables(lv, use_pallas: bool = False, slab_ctx=None):
     t = {
         "cols": np.asarray(lv.cols),
         "diag": np.asarray(lv.diag),
@@ -224,11 +224,33 @@ def _unroll_tables(lv, use_pallas: bool = False):
         # G=2 pairs per grid step measured fastest on v5e (5.93 vs 5.07
         # TF/s bf16 at G=1; G>=4 plateaus — exp_pipe.py round 3)
         grp = int(_os_mod.environ.get("PASTIX_E2_GROUP", "2"))
-        t["p_full"] = build_pipeline_schedule(
-            lv.gemm_a, lv.gemm_b, lv.gemm_d, gk=lv.gemm_k, group=grp
-        )
+        if slab_ctx is not None:
+            # panel-slab schedule (descriptor-amortized, row-bounded);
+            # short-panel pairs fall back to the pair kernel
+            from pastix_tpu.numeric.slab_kernels import build_slab_plan
+
+            plan = build_slab_plan(
+                lv.gemm_a, lv.gemm_b, lv.gemm_d, lv.gemm_k,
+                slab_ctx["diag_of_col"], slab_ctx["npool"],
+                C=slab_ctx["C"], H=slab_ctx["H"], G=slab_ctx["G"],
+                min_panel=slab_ctx["min_panel"],
+                rbounds=slab_ctx["rbounds"], T=slab_ctx["T"],
+            )
+            if plan.n_slab_pairs:
+                t["p_slab"] = plan
+                fga, fgb, fgd, fgk = plan.fallback
+                if fga.size:
+                    t["p_fb"] = build_pipeline_schedule(
+                        fga.astype(np.int32), fgb.astype(np.int32),
+                        fgd.astype(np.int32), gk=fgk.astype(np.int32),
+                        group=grp,
+                    )
+        if "p_slab" not in t:
+            t["p_full"] = build_pipeline_schedule(
+                lv.gemm_a, lv.gemm_b, lv.gemm_d, gk=lv.gemm_k, group=grp
+            )
         nd = lv.gemm_nondiag
-        if nd.any():
+        if nd.any() and slab_ctx is None:
             t["p_nd"] = build_pipeline_schedule(
                 lv.gemm_a[nd], lv.gemm_b[nd], lv.gemm_d[nd], group=grp
             )
@@ -375,6 +397,40 @@ def build_factorize_fn(
         )
     if use_pallas:
         from pastix_tpu.numeric.pallas_kernels import gemm_scatter_pipelined
+        from pastix_tpu.numeric.slab_kernels import gemm_scatter_slab
+
+    # panel-slab E2 (numeric/slab_kernels.py): descriptor-amortized slab
+    # DMAs + row-bounded sub-matmuls.  Default ON wherever the pipelined
+    # kernel runs (LLT/LDLT real dtypes); PASTIX_E2_SLAB=0 reverts to the
+    # per-pair pipelined kernel.
+    slab_ctx = None
+    if (
+        use_pallas
+        and kind in (Factorization.LLT, Factorization.LDLT)
+        and _os_mod.environ.get("PASTIX_E2_SLAB", "1") != "0"
+    ):
+        diag_of_col_np = np.asarray(
+            layout.lookup(np.arange(layout.nbc), np.arange(layout.nbc))
+        )
+        rbounds = None
+        if (
+            layout.row_lo is not None
+            and _os_mod.environ.get("PASTIX_SLAB_BOUND", "1") != "0"
+        ):
+            rbounds = (layout.row_lo, layout.row_hi)
+        slab_ctx = {
+            "diag_of_col": diag_of_col_np,
+            "npool": layout.npool,
+            "rbounds": rbounds,
+            "T": layout.T,
+            # 0 = per-level auto (C from the level's panel lengths, H=4C)
+            "C": int(_os_mod.environ.get("PASTIX_SLAB_C", "0")),
+            "H": int(_os_mod.environ.get("PASTIX_SLAB_H", "0")),
+            "G": int(_os_mod.environ.get("PASTIX_SLAB_G", "4")),
+            "min_panel": int(
+                _os_mod.environ.get("PASTIX_SLAB_MINPANEL", "6")
+            ),
+        }
 
     # dense terminal block (analyze/layout.plan_dense_tail): supported for
     # LLT with hermitian/real semantics (lax.linalg.cholesky); other kinds
@@ -398,7 +454,7 @@ def build_factorize_fn(
     plan = []
     for tag, item in group_plan(levels, T=layout.T):
         if tag == "unroll":
-            t = _unroll_tables(levels[item], use_pallas)
+            t = _unroll_tables(levels[item], use_pallas, slab_ctx)
             if packed:
                 t.update(_packed_unroll(packed_plan.levels[item], is_lu))
         else:
@@ -444,13 +500,26 @@ def build_factorize_fn(
     # 1M-dof scale hundreds of MB of embedded constants break the compiler.
     # The Pallas tables (p_full/p_nd) stay host-static: the fused kernel's
     # grid metadata needs concrete values.
+    # device flops actually saved by the slab kernel's row-bounded
+    # sub-matmuls vs the full-tile count (layout.padded_flops); consumers
+    # read fn.e2_saved_flops for honest padded/useful reporting
+    e2_saved = 0.0
+    for _tag, _t in plan:
+        if "p_slab" in _t:
+            st = _t["p_slab"].stats
+            e2_saved += (
+                st["pairs_slab"] * (1.0 - st["flop_frac"])
+                * 2.0 * layout.T ** 3
+            )
+
     plan_tags = [tag for tag, _ in plan]
+    _static_keys = ("p_full", "p_nd", "p_slab", "p_fb")
     plan_static = [
-        {k: t[k] for k in ("p_full", "p_nd") if k in t} for _, t in plan
+        {k: t[k] for k in _static_keys if k in t} for _, t in plan
     ]
     plan_tables = jax.device_put(
         [
-            {k: v for k, v in t.items() if k not in ("p_full", "p_nd")}
+            {k: v for k, v in t.items() if k not in _static_keys}
             for _, t in plan
         ]
     )
@@ -580,7 +649,15 @@ def build_factorize_fn(
                 pool = _scan_chunks(
                     pool, (t["tp"], t["tcpos"]), (npool, 0), trsm_body
                 )
-            if "p_full" in t and not jnp.iscomplexobj(pool):
+            if "p_slab" in t and not jnp.iscomplexobj(pool):
+                pool = gemm_scatter_slab(
+                    pool, t["p_slab"], update_dtype=update_dtype
+                )
+                if "p_fb" in t:
+                    pool = gemm_scatter_pipelined(
+                        pool, t["p_fb"], update_dtype=update_dtype
+                    )
+            elif "p_full" in t and not jnp.iscomplexobj(pool):
                 pool = gemm_scatter_pipelined(
                     pool, t["p_full"], update_dtype=update_dtype
                 )
@@ -653,7 +730,9 @@ def build_factorize_fn(
             return pool
 
         jfn = jax.jit(fact_llt, donate_argnums=(0,) if donate else ())
-        return lambda pool: jfn(pool, plan_tables)
+        fn = lambda pool: jfn(pool, plan_tables)
+        fn.e2_saved_flops = e2_saved
+        return fn
 
     if kind in (Factorization.LDLT, Factorization.LDLH):
 
@@ -689,7 +768,15 @@ def build_factorize_fn(
                     pool, (t["tp"], t["tcpos"], t["tc"]), (npool, 0, 0),
                     trsm_body,
                 )
-            if "p_full" in t and not jnp.iscomplexobj(pool):
+            if "p_slab" in t and not jnp.iscomplexobj(pool):
+                pool = gemm_scatter_slab(
+                    pool, t["p_slab"], d=d_arr, update_dtype=update_dtype
+                )
+                if "p_fb" in t:
+                    pool = gemm_scatter_pipelined(
+                        pool, t["p_fb"], d=d_arr, update_dtype=update_dtype
+                    )
+            elif "p_full" in t and not jnp.iscomplexobj(pool):
                 pool = gemm_scatter_pipelined(
                     pool, t["p_full"], d=d_arr, update_dtype=update_dtype
                 )
@@ -775,7 +862,9 @@ def build_factorize_fn(
             return pool, d_arr, npiv
 
         jfn = jax.jit(fact_ldlt, donate_argnums=(0,) if donate else ())
-        return lambda pool, eps: jfn(pool, eps, plan_tables)
+        fn = lambda pool, eps: jfn(pool, eps, plan_tables)
+        fn.e2_saved_flops = e2_saved
+        return fn
 
     if kind == Factorization.LU:
 
@@ -931,7 +1020,9 @@ def build_factorize_fn(
             return pool, pool_u, npiv
 
         jfn = jax.jit(fact_lu, donate_argnums=(0, 1) if donate else ())
-        return lambda pool, pool_u, eps: jfn(pool, pool_u, eps, plan_tables)
+        fn = lambda pool, pool_u, eps: jfn(pool, pool_u, eps, plan_tables)
+        fn.e2_saved_flops = e2_saved
+        return fn
 
     raise ValueError(f"unsupported factorization: {kind}")
 

@@ -868,7 +868,7 @@ class Pastix:
         self.report.nnz_l = self.layout.npool * self.layout.T * self.layout.T
         self.report.fact_flops_padded = self.layout.padded_flops(
             "lu" if cfg.factorization == Factorization.LU else "llt"
-        )
+        ) - getattr(self._fact_fn, "e2_saved_flops", 0.0)
         if self.report.fact_flops > 0:
             self.report.padding_waste = (
                 self.report.fact_flops_padded / self.report.fact_flops - 1.0

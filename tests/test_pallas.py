@@ -113,6 +113,30 @@ def test_pipelined_matches_xla_scaled(rng):
     )
 
 
+@pytest.mark.parametrize("group", [1, 2, 3])
+@pytest.mark.parametrize("slots", [2, 3])
+def test_pipelined_grouped_padded_tail(rng, group, slots):
+    """The production schedule runs group=2 (PASTIX_E2_GROUP): exercise the
+    grouped padding/parity/VALID-flag logic with pair counts that force a
+    padded tail (gpad > 0) and deeper slab buffering (slots=3)."""
+    from pastix_tpu.numeric.pallas_kernels import (
+        build_pipeline_schedule, gemm_scatter_pipelined)
+
+    npool, T = 40, 16
+    for ng in (7, group * 5 + 1):  # both force gpad for group > 1
+        pool = rng.standard_normal((npool, T, T)).astype(np.float32)
+        ga, gb, gd = _triples(rng, ng, 20, npool)
+        ref = K.gemm_scatter(
+            jnp.asarray(pool), jnp.asarray(ga), jnp.asarray(gb),
+            jnp.asarray(gd),
+        )
+        sched = build_pipeline_schedule(ga, gb, gd, group=group)
+        out = gemm_scatter_pipelined(jnp.asarray(pool), sched, slots=slots)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-3, atol=1e-3
+        )
+
+
 def test_pipelined_matches_xla_cross_pool(rng):
     from pastix_tpu.numeric.pallas_kernels import (
         build_pipeline_schedule, gemm_scatter_pipelined)
