@@ -110,3 +110,91 @@ for S, D, st, reps in [
     (16, 2, 256, 32), (32, 2, 128, 32),
 ]:
     probe(S, D, st, reps)
+
+# --- sub-tile sizes: does a 32/16 KB DMA cost less than a 64 KB one? ---
+pool2 = pool.reshape(npool * 2, 64, T)
+pool4 = pool.reshape(npool * 4, 32, T)
+
+
+def probe_sub(view, rows, S, D, steps, reps, label):
+    nmax = view.shape[0] - S
+
+    idx = rng.integers(0, nmax, (steps, D)).astype(np.int32)
+
+    def kernel(idx_ref, pool_ref, out_ref, buf, sems, acc):
+        r = pl.program_id(0)
+        i = pl.program_id(1)
+        g = r * steps + i
+
+        def cp(step_mod, d, slot):
+            return pltpu.make_async_copy(
+                pool_ref.at[pl.ds(idx_ref[step_mod, d], S)],
+                buf.at[slot, d],
+                sems.at[slot, d],
+            )
+
+        @pl.when(g == 0)
+        def _():
+            for d in range(D):
+                cp(0, d, 0).start()
+
+        @pl.when(g + 1 < reps * steps)
+        def _():
+            nxt = (i + 1) % steps
+            for d in range(D):
+                cp(nxt, d, (g + 1) % 2).start()
+
+        for d in range(D):
+            cp(i, d, g % 2).wait()
+        acc[:] = acc[:] + buf[g % 2, 0, 0, :1, :]
+
+        @pl.when(g == reps * steps - 1)
+        def _():
+            out_ref[:] = acc[:]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(reps, steps),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, D, S, rows, T), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, D)),
+            pltpu.VMEM((1, T), jnp.float32),
+        ],
+    )
+    fn = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, T), jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+    @jax.jit
+    def run(v):
+        return fn(jnp.asarray(idx), v)
+
+    out = run(view)
+    jax.block_until_ready(out)
+    float(np.asarray(out)[0, 0])
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = run(view)
+        jax.block_until_ready(out)
+        float(np.asarray(out)[0, 0])
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
+    ndma = reps * steps * D
+    nbytes = ndma * S * rows * T * 4
+    print(
+        f"{label}: D={D} {t*1e6/ndma:8.3f} us/DMA, "
+        f"{nbytes/t/1e9:7.1f} GB/s", flush=True,
+    )
+
+
+print("--- sub-tile transfer sizes ---", flush=True)
+for D in (2, 4, 8):
+    probe_sub(pool2, 64, 1, D, 1024, 64, "32KB (64,128)")
+for D in (2, 4, 8):
+    probe_sub(pool4, 32, 1, D, 1024, 64, "16KB (32,128)")

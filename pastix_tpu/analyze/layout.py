@@ -411,13 +411,17 @@ def build_layout(
             m = rows.size
             if m == 0:
                 continue
-            pidx = np.arange(lo + 1, hi, dtype=np.int64)
+            pidx = np.arange(lo + 1, hi, dtype=np.int32)
             tp_list.append(pidx)
-            td_list.append(np.full(m, diag_of_col[J]))
-            tr_list.append(rows)
-            tc_list.append(np.full(m, J))
-            # updates: all pairs I >= K from rows
+            td_list.append(np.full(m, diag_of_col[J], np.int32))
+            tr_list.append(rows.astype(np.int32))
+            tc_list.append(np.full(m, J, np.int32))
+            # updates: all pairs I >= K from rows.  int32 throughout: the
+            # pair tables are the dominant analysis allocation (2.3e8
+            # pairs at 10M dof — int64 transients OOMed a 125 GB host)
             ii, kk = np.tril_indices(m)
+            ii = ii.astype(np.int32)
+            kk = kk.astype(np.int32)
             I = rows[ii]
             K = rows[kk]
             if incomplete:
@@ -428,8 +432,8 @@ def build_layout(
                 ii, kk, I, K = ii[hit], kk[hit], I[hit], K[hit]
             ga_list.append(pidx[ii])
             gb_list.append(pidx[kk])
-            gd_list.append(lookup(I, K))
-            gk_list.append(np.full(I.size, J))
+            gd_list.append(lookup(I, K).astype(np.int32))
+            gk_list.append(np.full(I.size, J, np.int32))
         cat = lambda lst: (
             np.concatenate(lst).astype(np.int32) if lst else np.empty(0, np.int32)
         )

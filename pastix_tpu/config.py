@@ -365,6 +365,10 @@ class SolveReport:
     memory_terms: int = 0  # IPARM_ALLOCATED_TERMS: allocated coefficient
     # terms (memory_bytes // dtype itemsize — the reference slot counts
     # terms, not bytes)
+    fallbacks: list = dataclasses.field(default_factory=list)
+    # names of platform fallbacks that fired (remote-TPU degradations:
+    # "dinv-compile", "fast-solve", "dense-tail-solve", "fused-refine");
+    # empty on a healthy run — tests assert this on CPU
 
     def to_iparm(self) -> tuple[dict, dict]:
         """Outputs under the reference's slot names: (iparm, dparm) dicts.

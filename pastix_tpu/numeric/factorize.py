@@ -224,7 +224,40 @@ def _unroll_tables(lv, use_pallas: bool = False, slab_ctx=None):
         # G=2 pairs per grid step measured fastest on v5e (5.93 vs 5.07
         # TF/s bf16 at G=1; G>=4 plateaus — exp_pipe.py round 3)
         grp = int(_os_mod.environ.get("PASTIX_E2_GROUP", "2"))
-        if slab_ctx is not None:
+        if slab_ctx is not None and slab_ctx.get("mode") == "stream":
+            # bf16 panel-stream: TRSM emits a compact half-width operand
+            # array; the pair kernel reads it instead of the fp32 pool
+            t["p_full"] = build_pipeline_schedule(
+                lv.gemm_a, lv.gemm_b, lv.gemm_d, gk=lv.gemm_k, group=grp,
+                ext_tiles=lv.trsm_panel,
+            )
+            nd_s = lv.gemm_nondiag
+            if nd_s.any():
+                t["p_nd"] = build_pipeline_schedule(
+                    lv.gemm_a[nd_s], lv.gemm_b[nd_s], lv.gemm_d[nd_s],
+                    group=grp, ext_tiles=lv.trsm_panel,
+                )
+            t["stream"] = np.int32(1)
+        elif slab_ctx is not None and slab_ctx.get("mode") == "block":
+            # dst-block schedule (byte-minimal blocked GEMM); entries
+            # with poor slab economics fall back to the pair kernel
+            from pastix_tpu.numeric.block_kernels import build_block_plan
+
+            lay = slab_ctx["layout"]
+            plan = build_block_plan(
+                lv.gemm_a, lv.gemm_b, lv.gemm_d, lv.gemm_k,
+                lay.blk_row, lay.blk_col, lay.keys, lay.nbc, lay.npool,
+            )
+            if plan.n_block_pairs:
+                t["p_blk"] = plan
+                fga, fgb, fgd, fgk = plan.fallback
+                if fga.size:
+                    t["p_fb"] = build_pipeline_schedule(
+                        fga.astype(np.int32), fgb.astype(np.int32),
+                        fgd.astype(np.int32), gk=fgk.astype(np.int32),
+                        group=grp,
+                    )
+        elif slab_ctx is not None:
             # panel-slab schedule (descriptor-amortized, row-bounded);
             # short-panel pairs fall back to the pair kernel
             from pastix_tpu.numeric.slab_kernels import build_slab_plan
@@ -245,7 +278,7 @@ def _unroll_tables(lv, use_pallas: bool = False, slab_ctx=None):
                         fgd.astype(np.int32), gk=fgk.astype(np.int32),
                         group=grp,
                     )
-        if "p_slab" not in t:
+        if "p_slab" not in t and "p_blk" not in t and "p_full" not in t:
             t["p_full"] = build_pipeline_schedule(
                 lv.gemm_a, lv.gemm_b, lv.gemm_d, gk=lv.gemm_k, group=grp
             )
@@ -339,6 +372,64 @@ def _scan_tables(g):
     }
 
 
+def _trsm_stream(pool, tp, tcpos, dinv, npool, T, stream_dtype,
+                 d_arr=None, tc=None, nbc=None):
+    """Panel TRSM that ALSO emits the level's post-TRSM panels as a
+    compact half-width (bf16) array — the E2 operand stream.  The panels
+    temp already exists as the TRSM einsum output, so the cast+store is
+    the only extra traffic (~0.5 tile-write per panel tile vs the 2
+    full-width reads per pair it saves — exp_dma r4: the E2 kernel is
+    bytes-bound at ~240 GB/s)."""
+    nt = int(tp.shape[0])
+    chunk = _PANEL_CHUNK or nt
+
+    if nt <= chunk:
+        inv_p = dinv[tcpos]
+        panels = jnp.einsum(
+            "bij,bkj->bik", pool[tp], inv_p,
+            preferred_element_type=pool.dtype,
+            precision=K.matmul_precision(),
+        )
+        if d_arr is not None:
+            panels = panels / d_arr[jnp.minimum(tc, nbc - 1)][:, None, :]
+        return pool.at[tp].set(panels), panels.astype(stream_dtype)
+
+    nc = -(-nt // chunk)
+    pad = nc * chunk - nt
+    tp_p = K._pad_chunk(tp, pad, npool).reshape(nc, chunk)
+    tcp_p = K._pad_chunk(tcpos, pad, 0).reshape(nc, chunk)
+    offs = jnp.arange(nc, dtype=jnp.int32) * jnp.int32(chunk)
+    xs = [tp_p, tcp_p, offs]
+    if d_arr is not None:
+        xs.append(K._pad_chunk(tc, pad, 0).reshape(nc, chunk))
+    xab0 = jnp.zeros((nc * chunk, T, T), stream_dtype)
+
+    def step(carry, x):
+        pool, xab = carry
+        if d_arr is not None:
+            tpc, tcc, off, tcc_col = x
+        else:
+            tpc, tcc, off = x
+        inv_p = dinv[tcc]
+        panels = jnp.einsum(
+            "bij,bkj->bik", pool[tpc], inv_p,
+            preferred_element_type=pool.dtype,
+            precision=K.matmul_precision(),
+        )
+        if d_arr is not None:
+            panels = panels / d_arr[jnp.minimum(tcc_col, nbc - 1)][
+                :, None, :
+            ]
+        pool = pool.at[tpc].set(panels)
+        xab = lax.dynamic_update_slice(
+            xab, panels.astype(stream_dtype), (off, jnp.int32(0), jnp.int32(0))
+        )
+        return (pool, xab), None
+
+    (pool, xab), _ = lax.scan(step, (pool, xab0), tuple(xs))
+    return pool, xab
+
+
 def build_factorize_fn(
     layout: SolverLayout,
     kind: Factorization,
@@ -398,16 +489,29 @@ def build_factorize_fn(
     if use_pallas:
         from pastix_tpu.numeric.pallas_kernels import gemm_scatter_pipelined
         from pastix_tpu.numeric.slab_kernels import gemm_scatter_slab
+        from pastix_tpu.numeric.block_kernels import gemm_scatter_block
 
-    # panel-slab E2 (numeric/slab_kernels.py): descriptor-amortized slab
-    # DMAs + row-bounded sub-matmuls.  Default ON wherever the pipelined
-    # kernel runs (LLT/LDLT real dtypes); PASTIX_E2_SLAB=0 reverts to the
-    # per-pair pipelined kernel.
+    # byte-efficient E2 schedules (LLT/LDLT real dtypes):
+    #   PASTIX_E2_BLOCK=1 (default): dst-block blocked GEMM
+    #     (block_kernels.py) — per-entry cost gate, pair-kernel fallback
+    #   PASTIX_E2_SLAB=1 + PASTIX_E2_BLOCK=0: panel-slab schedule
+    #   both 0: per-pair pipelined kernel everywhere
     slab_ctx = None
+    # default ON since round 4: flagship 1824 -> 1609 ms (residual
+    # identical); PASTIX_E2_STREAM=0 reverts to pool-read operands
+    use_stream = _os_mod.environ.get("PASTIX_E2_STREAM", "1") != "0"
+    use_block = _os_mod.environ.get("PASTIX_E2_BLOCK", "1") != "0"
     if (
         use_pallas
-        and kind in (Factorization.LLT, Factorization.LDLT)
-        and _os_mod.environ.get("PASTIX_E2_SLAB", "1") != "0"
+        and (
+            kind in (Factorization.LLT, Factorization.LDLT)
+            or (kind == Factorization.LU and use_stream)
+        )
+        and (
+            use_stream
+            or use_block
+            or _os_mod.environ.get("PASTIX_E2_SLAB", "1") != "0"
+        )
     ):
         diag_of_col_np = np.asarray(
             layout.lookup(np.arange(layout.nbc), np.arange(layout.nbc))
@@ -419,6 +523,10 @@ def build_factorize_fn(
         ):
             rbounds = (layout.row_lo, layout.row_hi)
         slab_ctx = {
+            "mode": "stream" if use_stream else (
+                "block" if use_block else "slab"
+            ),
+            "layout": layout,
             "diag_of_col": diag_of_col_np,
             "npool": layout.npool,
             "rbounds": rbounds,
@@ -511,9 +619,16 @@ def build_factorize_fn(
                 st["pairs_slab"] * (1.0 - st["flop_frac"])
                 * 2.0 * layout.T ** 3
             )
+        if "p_blk" in _t:
+            # block entries execute ha_cls x hb_cls full class dots;
+            # savings can be NEGATIVE (class padding) vs per-pair count
+            st = _t["p_blk"].stats
+            e2_saved += (
+                st["pairs_blk"] - st["exec_tile_products"]
+            ) * 2.0 * layout.T ** 3
 
     plan_tags = [tag for tag, _ in plan]
-    _static_keys = ("p_full", "p_nd", "p_slab", "p_fb")
+    _static_keys = ("p_full", "p_nd", "p_slab", "p_blk", "p_fb")
     plan_static = [
         {k: t[k] for k in _static_keys if k in t} for _, t in plan
     ]
@@ -646,10 +761,33 @@ def build_factorize_fn(
                     )
                     return pool.at[tp].set(panels)
 
+                if (
+                    "stream" in t
+                    and "p_full" in t
+                    and update_dtype is not None
+                    and not jnp.iscomplexobj(pool)
+                ):
+                    pool, xab = _trsm_stream(
+                        pool, t["tp"], t["tcpos"], dinv, npool, T,
+                        update_dtype,
+                    )
+                    pool = gemm_scatter_pipelined(
+                        pool, t["p_full"], update_dtype=update_dtype,
+                        xab=xab,
+                    )
+                    return pool
                 pool = _scan_chunks(
                     pool, (t["tp"], t["tcpos"]), (npool, 0), trsm_body
                 )
-            if "p_slab" in t and not jnp.iscomplexobj(pool):
+            if "p_blk" in t and not jnp.iscomplexobj(pool):
+                pool = gemm_scatter_block(
+                    pool, t["p_blk"], update_dtype=update_dtype
+                )
+                if "p_fb" in t:
+                    pool = gemm_scatter_pipelined(
+                        pool, t["p_fb"], update_dtype=update_dtype
+                    )
+            elif "p_slab" in t and not jnp.iscomplexobj(pool):
                 pool = gemm_scatter_slab(
                     pool, t["p_slab"], update_dtype=update_dtype
                 )
@@ -764,11 +902,34 @@ def build_factorize_fn(
                     ) / d_arr[jnp.minimum(tc, nbc - 1)][:, None, :]
                     return pool.at[tp].set(panels)
 
+                if (
+                    "stream" in t
+                    and "p_full" in t
+                    and update_dtype is not None
+                    and not jnp.iscomplexobj(pool)
+                ):
+                    pool, xab = _trsm_stream(
+                        pool, t["tp"], t["tcpos"], dinv, npool, T,
+                        update_dtype, d_arr=d_arr, tc=t["tc"], nbc=nbc,
+                    )
+                    pool = gemm_scatter_pipelined(
+                        pool, t["p_full"], d=d_arr,
+                        update_dtype=update_dtype, xab=xab,
+                    )
+                    return pool, d_arr, npiv
                 pool = _scan_chunks(
                     pool, (t["tp"], t["tcpos"], t["tc"]), (npool, 0, 0),
                     trsm_body,
                 )
-            if "p_slab" in t and not jnp.iscomplexobj(pool):
+            if "p_blk" in t and not jnp.iscomplexobj(pool):
+                pool = gemm_scatter_block(
+                    pool, t["p_blk"], d=d_arr, update_dtype=update_dtype
+                )
+                if "p_fb" in t:
+                    pool = gemm_scatter_pipelined(
+                        pool, t["p_fb"], d=d_arr, update_dtype=update_dtype
+                    )
+            elif "p_slab" in t and not jnp.iscomplexobj(pool):
                 pool = gemm_scatter_slab(
                     pool, t["p_slab"], d=d_arr, update_dtype=update_dtype
                 )
@@ -889,6 +1050,58 @@ def build_factorize_fn(
                 (pool, pool_u), (t["tp"], t["tcpos"]), (npool, 0), trsm_body
             )
 
+        def lu_trsm_stream(pool, pool_u, t, linv, uinv_t):
+            # both TRSMs + bf16 panel streams for the cross-pool E2
+            tp, tcpos = t["tp"], t["tcpos"]
+            nt = int(tp.shape[0])
+            chunk = _PANEL_CHUNK or nt
+
+            def one(pool, pool_u, tpc, tcc):
+                lp = jnp.einsum(
+                    "bij,bkj->bik", pool[tpc], uinv_t[tcc],
+                    preferred_element_type=pool.dtype,
+                    precision=K.matmul_precision(),
+                )
+                up = jnp.einsum(
+                    "bij,bkj->bik", pool_u[tpc], linv[tcc],
+                    preferred_element_type=pool.dtype,
+                    precision=K.matmul_precision(),
+                )
+                return (
+                    pool.at[tpc].set(lp), pool_u.at[tpc].set(up), lp, up
+                )
+
+            if nt <= chunk:
+                pool, pool_u, lp, up = one(pool, pool_u, tp, tcpos)
+                return (
+                    pool, pool_u,
+                    lp.astype(update_dtype), up.astype(update_dtype),
+                )
+            nc = -(-nt // chunk)
+            pad = nc * chunk - nt
+            tp_p = K._pad_chunk(tp, pad, npool).reshape(nc, chunk)
+            tcp_p = K._pad_chunk(tcpos, pad, 0).reshape(nc, chunk)
+            offs = jnp.arange(nc, dtype=jnp.int32) * jnp.int32(chunk)
+            xl0 = jnp.zeros((nc * chunk, T, T), update_dtype)
+            xu0 = jnp.zeros((nc * chunk, T, T), update_dtype)
+
+            def step(carry, x):
+                pool, pool_u, xl, xu = carry
+                tpc, tcc, off = x
+                pool, pool_u, lp, up = one(pool, pool_u, tpc, tcc)
+                xl = lax.dynamic_update_slice(
+                    xl, lp.astype(update_dtype), (off, jnp.int32(0), jnp.int32(0))
+                )
+                xu = lax.dynamic_update_slice(
+                    xu, up.astype(update_dtype), (off, jnp.int32(0), jnp.int32(0))
+                )
+                return (pool, pool_u, xl, xu), None
+
+            (pool, pool_u, xl, xu), _ = lax.scan(
+                step, (pool, pool_u, xl0, xu0), (tp_p, tcp_p, offs)
+            )
+            return pool, pool_u, xl, xu
+
         def lu_level_unroll(carry, t, eps):
             pool, pool_u, npiv = carry
             if t["tp"].size:
@@ -899,9 +1112,33 @@ def build_factorize_fn(
                 diag, piv = K.getrf_batch(pool[t["diag"]], eps)
             pool = pool.at[t["diag"]].set(diag)
             npiv = npiv + piv.sum(dtype=jnp.int32)
+            use_stream_lvl = (
+                "stream" in t
+                and "p_full" in t
+                and update_dtype is not None
+                and not jnp.iscomplexobj(pool)
+            )
             if t["tp"].size:
-                pool, pool_u = lu_trsm_inv(pool, pool_u, t, linv, uinv_t)
-            if "p_full" in t and not jnp.iscomplexobj(pool):
+                if use_stream_lvl:
+                    pool, pool_u, xl, xu = lu_trsm_stream(
+                        pool, pool_u, t, linv, uinv_t
+                    )
+                else:
+                    pool, pool_u = lu_trsm_inv(
+                        pool, pool_u, t, linv, uinv_t
+                    )
+            if use_stream_lvl:
+                # A(I,K) -= L(I,J) @ U(J,K) from the bf16 panel streams
+                pool = gemm_scatter_pipelined(
+                    pool, t["p_full"], update_dtype=update_dtype,
+                    xab=(xl, xu),
+                )
+                if "p_nd" in t:
+                    pool_u = gemm_scatter_pipelined(
+                        pool_u, t["p_nd"], update_dtype=update_dtype,
+                        xab=(xu, xl),
+                    )
+            elif "p_full" in t and not jnp.iscomplexobj(pool):
                 # A(I,K) -= L(I,J) @ U(J,K): fused kernel, b from the U pool
                 pool = gemm_scatter_pipelined(
                     pool, t["p_full"], src_pool=pool_u,

@@ -110,6 +110,50 @@ def plan_ooc(
             [np.arange(col_ptr[c], col_ptr[c + 1]) for c in cols]
         ) if len(cols) else np.empty(0, np.int64)
 
+    # pre-split any level whose own window would exceed the budget into
+    # column-subset sub-levels (columns within a level are independent,
+    # so a subset is a valid schedule unit).  Found at the 10M-dof rung:
+    # one level's tiles reached 60 GiB — far past any HBM (exp_10m.py).
+    # The remaining floor is a single COLUMN's panel + exports, matching
+    # the reference's cblk-granular paging floor (src/sopalin/src/ooc.c).
+    tiles_of_col = np.diff(col_ptr)
+    split_levels = []
+    for lv in levels:
+        win_sz = int(tiles_of_col[np.asarray(lv.cols)].sum())
+        exp_sz = int(np.unique(lv.gemm_d).size) if lv.gemm_d.size else 0
+        if win_sz + exp_sz <= budget_tiles:
+            split_levels.append(lv)
+            continue
+        target = max(tiles_of_col[np.asarray(lv.cols)].max(),
+                     budget_tiles // 2)
+        groups, cur, acc = [], [], 0
+        for c in np.asarray(lv.cols):
+            if cur and acc + tiles_of_col[c] > target:
+                groups.append(np.asarray(cur))
+                cur, acc = [], 0
+            cur.append(c)
+            acc += int(tiles_of_col[c])
+        if cur:
+            groups.append(np.asarray(cur))
+        for g in groups:
+            cm = np.isin(lv.cols, g)
+            tm = np.isin(lv.trsm_col, g)
+            gm = np.isin(lv.gemm_k, g)
+            split_levels.append(type(lv)(
+                cols=lv.cols[cm],
+                diag=lv.diag[cm],
+                trsm_panel=lv.trsm_panel[tm],
+                trsm_diag=lv.trsm_diag[tm],
+                trsm_row=lv.trsm_row[tm],
+                trsm_col=lv.trsm_col[tm],
+                gemm_a=lv.gemm_a[gm],
+                gemm_b=lv.gemm_b[gm],
+                gemm_d=lv.gemm_d[gm],
+                gemm_k=lv.gemm_k[gm],
+                gemm_nondiag=lv.gemm_nondiag[gm],
+            ))
+    levels = split_levels
+
     segments = []
     i = 0
     nlev = len(levels)

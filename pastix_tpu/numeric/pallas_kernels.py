@@ -229,13 +229,16 @@ _F_FIRST, _F_LAST, _F_WRWAIT, _F_PAR, _F_VALID = 1, 2, 4, 8, 16
 
 
 def build_pipeline_schedule(ga, gb, gd, gk=None, chunk: int = 8192,
-                            group: int = 1):
+                            group: int = 1, ext_tiles=None):
     """Sort triples by dst and emit per-chunk static schedules.
 
     Returns a list of dicts with int32 arrays (ga, gb, gd, flags, rd) of
     one chunk's length plus the 2-element end-drain tables (endw, endt).
     ``group``: pairs per grid step in the kernel — chunks are padded to a
     multiple with invalid pairs (flag bit _F_VALID clear, predicated off).
+    ``ext_tiles``: sorted pool indices of an externally provided compact
+    operand array (the TRSM-produced bf16 panel stream): ga_c/gb_c are
+    then positions into it instead of per-chunk uniq gathers.
     """
     order = np.argsort(gd, kind="stable")
     ga = np.asarray(ga, np.int32)[order]
@@ -315,15 +318,30 @@ def build_pipeline_schedule(ga, gb, gd, gk=None, chunk: int = 8192,
             ])
             t["rd"] = np.concatenate([t["rd"], np.full(gpad, -1, np.int32)])
         t["group"] = group
-        # compact operand tables: a/b are gathered into per-chunk dense
-        # arrays OUTSIDE the kernel (each tile ONCE — real plans reuse a
-        # tile across ~10+ pairs) so the kernel reads small sequential
-        # arrays (cast to the update dtype: half the bytes per pair for
-        # bf16) and the pool is passed exactly once (aliased dst)
-        t["uniq_a"] = np.unique(t["ga"])
-        t["uniq_b"] = np.unique(t["gb"])
-        t["ga_c"] = np.searchsorted(t["uniq_a"], t["ga"]).astype(np.int32)
-        t["gb_c"] = np.searchsorted(t["uniq_b"], t["gb"]).astype(np.int32)
+        if ext_tiles is not None:
+            # positions into the TRSM-produced panel stream (both E2
+            # operands are post-TRSM panel tiles of the firing level)
+            ext = np.asarray(ext_tiles)
+            ga_c = np.searchsorted(ext, t["ga"])
+            gb_c = np.searchsorted(ext, t["gb"])
+            assert (ext[np.minimum(ga_c, ext.size - 1)] == t["ga"]).all()
+            assert (ext[np.minimum(gb_c, ext.size - 1)] == t["gb"]).all()
+            t["ga_c"] = ga_c.astype(np.int32)
+            t["gb_c"] = gb_c.astype(np.int32)
+        else:
+            # compact operand tables: a/b are gathered into per-chunk dense
+            # arrays OUTSIDE the kernel (each tile ONCE — real plans reuse
+            # a tile across ~10+ pairs) so the kernel reads small
+            # sequential arrays (cast to the update dtype: half the bytes
+            # per pair for bf16) and the pool is passed exactly once
+            t["uniq_a"] = np.unique(t["ga"])
+            t["uniq_b"] = np.unique(t["gb"])
+            t["ga_c"] = np.searchsorted(t["uniq_a"], t["ga"]).astype(
+                np.int32
+            )
+            t["gb_c"] = np.searchsorted(t["uniq_b"], t["gb"]).astype(
+                np.int32
+            )
         out.append(t)
     return out
 
@@ -513,6 +531,7 @@ def gemm_scatter_pipelined(
     ab_pack=False,
     compact=None,
     slots=None,
+    xab=None,
 ):
     """pool[gd] -= op(a) @ b^T via the pipelined fused kernel.
 
@@ -527,13 +546,23 @@ def gemm_scatter_pipelined(
     if slots is None:
         import os as _os_s
 
-        slots = int(_os_s.environ.get("PASTIX_E2_SLOTS", "2"))
-    if compact is None:
-        # measured parity-at-best on v5e even at 8x tile reuse
-        # (exp_compact.py: 6.05 vs 6.10 TF/s bf16; fp32 slightly worse)
-        # -> the ~6 TF/s plateau is DMA descriptor/latency-bound, not
-        # fetch-bandwidth-bound, and halving operand bytes buys nothing.
-        # Kept as an opt-in for future hardware.
+        # 4 slots keep ~2xGxS DMAs in flight: sub-64KB transfers are
+        # LATENCY-bound (~0.95 us round trip) and need depth >= 8 to reach
+        # the ~240 GB/s stream rate (exp_dma.py round 4) — this is what
+        # converts the bf16 panel stream's halved bytes into time
+        slots = int(_os_s.environ.get("PASTIX_E2_SLOTS", "4"))
+    if xab is not None:
+        # TRSM-produced bf16 panel stream: the compact kernel reads both
+        # operands from it at half the bytes, WITHOUT the separate XLA
+        # gather pass that ate the compact variant's savings
+        # (exp_compact r3 parity; exp_dma r4 shows the kernel is
+        # bytes-bound at ~240 GB/s, so halving operand bytes pays once
+        # the producer is free)
+        compact = True
+    elif compact is None:
+        # re-measured in r4: the r3 'descriptor-bound' reading of this
+        # parity was wrong — the separate gather pass cost what the
+        # halved kernel bytes saved (exp_dma.py).  Kept as an opt-in.
         import os as _os
 
         compact = (
@@ -567,12 +596,15 @@ def gemm_scatter_pipelined(
         in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
         operands = [pool]
         if compact:
-            src = src_pool if src_pool is not None else pool
-            Xa = pool[jnp.asarray(t["uniq_a"])]
-            Xb = src[jnp.asarray(t["uniq_b"])]
-            if update_dtype is not None:
-                Xa = Xa.astype(update_dtype)
-                Xb = Xb.astype(update_dtype)
+            if xab is not None:
+                Xa, Xb = xab if isinstance(xab, tuple) else (xab, xab)
+            else:
+                src = src_pool if src_pool is not None else pool
+                Xa = pool[jnp.asarray(t["uniq_a"])]
+                Xb = src[jnp.asarray(t["uniq_b"])]
+                if update_dtype is not None:
+                    Xa = Xa.astype(update_dtype)
+                    Xb = Xb.astype(update_dtype)
             in_specs += [
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),

@@ -74,21 +74,55 @@ def build_pool_sharding(
     nbc, npool = layout.nbc, layout.npool
     blk_col = np.asarray(layout.blk_col)
     tiles_per_col = np.bincount(blk_col, minlength=nbc)
-    owner_col = np.zeros(nbc, np.int32)
+    # per-column attributed device flops: potrf + its panels' TRSMs +
+    # the E2 pairs LANDING in its tiles (owner-computes applies updates at
+    # the dst owner) — balancing on tile counts alone left E2, ~95% of
+    # the flops, ~90% imbalanced (distribution_report, round 4)
+    col_cost = np.full(nbc, 1.0 / 3.0)
+    col_cost += tiles_per_col - 1  # TRSM panels (diag tile excluded)
+    # E2 into dense-tail tiles is row-slab-distributed below, not owned by
+    # the target column — excluding it from col_cost stops the balancer
+    # from over-compensating the tail columns' owners
+    in_tail = np.zeros(npool, bool)
+    if dense_tail is not None:
+        in_tail[np.asarray(dense_tail.p_idx)] = True
     for lv in levels:
-        cols = np.asarray(lv.cols)
-        order = np.argsort(-tiles_per_col[cols], kind="stable")
-        load = np.zeros(ndev, np.int64)
-        for c in cols[order]:
-            d = int(np.argmin(load))
-            owner_col[c] = d
-            load[d] += tiles_per_col[c]
+        if lv.gemm_d.size:
+            gdv = np.asarray(lv.gemm_d)
+            gdv = gdv[~in_tail[gdv]]
+            if gdv.size:
+                col_cost += 2.0 * np.bincount(
+                    blk_col[gdv], minlength=nbc
+                )
+    owner_col = np.zeros(nbc, np.int32)
+    # global best-fit-decreasing on attributed cost: heaviest columns
+    # (top separators, ~1 GF each) are placed first on the least-loaded
+    # device.  A per-level greedy with a fresh load array handed every
+    # level's heaviest column to device 0 (~2x flop imbalance,
+    # distribution_report round 4); level-major with a carried load still
+    # left 26% — decreasing order is the standard bin-packing fix.
+    load = np.zeros(ndev, np.float64)
+    all_cols = np.concatenate([np.asarray(lv.cols) for lv in levels]) if (
+        levels
+    ) else np.empty(0, np.int64)
+    for c in all_cols[np.argsort(-col_cost[all_cols], kind="stable")]:
+        d = int(np.argmin(load))
+        owner_col[c] = d
+        load[d] += col_cost[c]
     owner = owner_col[blk_col].astype(np.int32)
     if dense_tail is not None:
+        # tail tiles by row slab — with EQUAL-AREA boundaries: the tail is
+        # lower-triangular, so equal row counts give slab d ~2d+1 tiles
+        # per row pair (26% flop imbalance measured); r_d ~ q*sqrt(d/n)
+        # equalizes both the tile counts and the E2 landing in them
         tq = dense_tail.q
-        L = -(-tq // ndev)
+        bounds = np.ceil(
+            tq * np.sqrt(np.arange(1, ndev + 1) / ndev)
+        ).astype(np.int64)
         t_p = np.asarray(dense_tail.p_idx)
-        owner[t_p] = (np.asarray(dense_tail.qi) // L).astype(np.int32)
+        owner[t_p] = np.searchsorted(
+            bounds, np.asarray(dense_tail.qi), side="right"
+        ).astype(np.int32)
     loc = np.zeros(npool, np.int32)
     nloc = 0
     for d in range(ndev):
@@ -99,6 +133,66 @@ def build_pool_sharding(
         ndev=ndev, nloc=max(nloc, 1), owner=owner, loc=loc,
         owner_col=owner_col,
     )
+
+
+def distribution_report(
+    layout: SolverLayout, sh: PoolSharding, dense_tail=None
+) -> dict:
+    """Static load-balance / comm-volume accounting for an owner plan.
+
+    The reference's blend REPORTS what its cost-model-driven proportional
+    mapping balanced (src/blend/src/distribPart.c, cost.c); this is the
+    analog for the owner-computes plan: per-device owned tiles and padded
+    device flops (DIAG+TRSM by column owner, E2 by dst-tile owner), plus
+    the halo traffic (per level, operand tiles a device must gather that
+    it does not own — the compact-slab all_gather volume).
+
+    Returns a dict with per-device arrays and summary ratios; printed by
+    ``__graft_entry__.dryrun_multichip`` and asserted in tests
+    (flop imbalance <= 25% on a ~100k-dof plan — VERDICT r4 item 4).
+    """
+    levels = dense_tail.levels_lo if dense_tail is not None else layout.levels
+    ndev = sh.ndev
+    T = layout.T
+    tiles = np.bincount(sh.owner, minlength=ndev).astype(np.int64)
+    flops = np.zeros(ndev, np.float64)
+    halo_tiles = np.zeros(ndev, np.int64)
+    t3 = float(T) ** 3
+    for lv in levels:
+        own_c = sh.owner_col[np.asarray(lv.cols)]
+        np.add.at(flops, own_c, t3 / 3.0)
+        if lv.trsm_panel.size:
+            np.add.at(
+                flops, sh.owner_col[np.asarray(lv.trsm_col)], t3
+            )
+        if lv.gemm_a.size:
+            own_d = sh.owner[np.asarray(lv.gemm_d)]
+            np.add.at(flops, own_d, 2.0 * t3)
+            # halo: distinct operand tiles needed by d but owned elsewhere
+            for arr in (lv.gemm_a, lv.gemm_b):
+                key = own_d.astype(np.int64) * layout.npool + np.asarray(
+                    arr, np.int64
+                )
+                uk = np.unique(key)
+                dd = (uk // layout.npool).astype(np.int32)
+                tt = uk % layout.npool
+                foreign = sh.owner[tt] != dd
+                np.add.at(halo_tiles, dd[foreign], 1)
+    tot = flops.sum()
+    imbalance = (
+        float(flops.max() / max(flops.mean(), 1.0) - 1.0) if tot else 0.0
+    )
+    return {
+        "ndev": ndev,
+        "tiles": tiles,
+        "flops": flops,
+        "halo_tiles": halo_tiles,
+        "halo_bytes": halo_tiles * T * T * 4,
+        "flop_imbalance": imbalance,
+        "tile_imbalance": float(
+            tiles.max() / max(tiles.mean(), 1.0) - 1.0
+        ),
+    }
 
 
 def _pad2(rows: list, m: int, fill) -> np.ndarray:
@@ -998,8 +1092,22 @@ def _wrap_dp_pad(jfn, ndp):
 def shard_pool_device(sh: PoolSharding, host_pool: np.ndarray, mesh: Mesh,
                       tp_axis: str = "tp"):
     """Place the host pool on the mesh in sharded layout: each device
-    receives only its (nloc, T, T) shard."""
-    local = sh.to_local(host_pool)
-    return jax.device_put(
-        local, NamedSharding(mesh, P(tp_axis, None, None, None))
-    )
+    receives only its (nloc, T, T) shard.
+
+    Built per-shard via make_array_from_callback: the previous
+    full-(ndev, nloc) to_local intermediate DOUBLED the host-side pool
+    footprint before upload (advisor r3 — GB-scale at production sizes)."""
+    gshape = (sh.ndev, sh.nloc) + host_pool.shape[1:]
+    sharding = NamedSharding(mesh, P(tp_axis, None, None, None))
+
+    def cb(index):
+        lo = index[0].start or 0
+        hi = index[0].stop if index[0].stop is not None else sh.ndev
+        out = np.zeros((hi - lo, sh.nloc) + host_pool.shape[1:],
+                       host_pool.dtype)
+        for d in range(lo, hi):
+            mine = np.flatnonzero(sh.owner == d)
+            out[d - lo, sh.loc[mine]] = host_pool[mine]
+        return out
+
+    return jax.make_array_from_callback(gshape, sharding, cb)

@@ -177,3 +177,41 @@ def test_auto_ooc_rescue(monkeypatch):
     assert len(s._ooc_plan.segments) > 1
     assert getattr(s.factors, "_streamed", False)
     assert np.abs(x - 1).max() < 1e-8
+
+
+def test_plan_ooc_splits_oversized_levels():
+    """A level whose tiles alone exceed the budget is split into
+    column-subset sub-levels instead of emitting an over-budget window
+    (found at the 10M rung: one level's window reached 60 GiB)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from pastix_tpu.generators import poisson_3d
+    from pastix_tpu.pastix import Pastix
+    from pastix_tpu.config import PastixConfig
+    from pastix_tpu.numeric.ooc import plan_ooc
+
+    A = poisson_3d(12)
+    s = Pastix(A, PastixConfig(tile_size=16, dense_tail=False))
+    s.order(); s.symbfact(); s.analyze()
+    lay = s.layout
+    # tiny budget: forces splitting of the widest (leaf) levels
+    tile_b = 16 * 16 * 4
+    budget = 64 * tile_b
+    plan = plan_ooc(lay, budget, dtype_bytes=4)
+    mf = plan.max_footprint_tiles()
+    widest = max(
+        np.diff(np.searchsorted(lay.blk_col, np.arange(lay.nbc + 1)))[
+            lv.cols
+        ].sum()
+        for lv in lay.levels
+    )
+    # the max window no longer scales with the widest level
+    assert mf < widest or widest <= 64, (mf, widest)
+    # every column appears exactly once across all segment tables
+    seen = np.concatenate(
+        [t["cols"] for seg in plan.segments for t in seg.tables]
+    )
+    assert np.array_equal(np.sort(seen), np.arange(lay.nbc))

@@ -179,3 +179,26 @@ def test_subtree_factorize_matches_single_device(mesh):
     with m4:
         out = np.asarray(fact(jnp.asarray(pool0)))
     np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_owner_distribution_report_balance():
+    """Static balance/comm accounting (blend distribPart/cost analog):
+    the owner plan's padded-flop imbalance stays <= 25% on a ~100k-dof
+    plan (VERDICT r4 item 4)."""
+    from pastix_tpu.generators import poisson_3d
+    from pastix_tpu.pastix import Pastix
+    from pastix_tpu.config import PastixConfig
+    from pastix_tpu.parallel.owner import (
+        build_pool_sharding, distribution_report)
+
+    A = poisson_3d(47)  # 103,823 dof
+    s = Pastix(A, PastixConfig(tile_size=32))
+    s.order(); s.symbfact(); s.analyze()
+    sh = build_pool_sharding(s.layout, 8, dense_tail=s._dense_tail)
+    rep = distribution_report(s.layout, sh, dense_tail=s._dense_tail)
+    assert rep["ndev"] == 8
+    assert rep["tiles"].sum() == s.layout.npool
+    assert rep["flops"].sum() > 0
+    assert rep["flop_imbalance"] <= 0.25, rep["flop_imbalance"]
+    # halo volume is bounded by the pool itself (sanity)
+    assert rep["halo_bytes"].sum() < s.layout.npool * 32 * 32 * 4 * 8

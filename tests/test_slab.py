@@ -277,3 +277,100 @@ def test_full_ldlt_with_slab_kernel(monkeypatch):
     x = solv(pool, d, bb)
     xs = blocks_to_rhs(layout, np.asarray(x))
     assert np.abs(xs - 1).max() < 1e-4
+
+
+@pytest.mark.parametrize("kind_name", ["llt", "ldlt"])
+def test_full_factorization_stream_path(monkeypatch, kind_name):
+    """End-to-end through the bf16 panel-stream E2 path."""
+    import pastix_tpu.numeric.pallas_kernels as PK
+    from pastix_tpu.generators import laplacian_2d
+    from pastix_tpu.order import compute_ordering
+    from pastix_tpu.analyze import build_layout
+    from pastix_tpu.numeric.factorize import coefinit, build_factorize_fn
+    from pastix_tpu.solve import build_solve_fn, rhs_to_blocks, blocks_to_rhs
+    from pastix_tpu.config import PastixConfig, Factorization
+    import pastix_tpu.numeric.grouping as G
+
+    monkeypatch.setenv("PASTIX_E2_STREAM", "1")
+    monkeypatch.setattr(PK, "_INTERPRET", True)
+    import importlib
+
+    F = importlib.import_module("pastix_tpu.numeric.factorize")
+    monkeypatch.setattr(F, "_PANEL_CHUNK", 7)  # force the chunked scan
+    if True:
+        A = laplacian_2d(10)
+        o = compute_ordering(A.pattern_sym_scipy(), PastixConfig())
+        Ap = A.permuted(o.permtab)
+        layout = build_layout(Ap.pattern_sym_scipy(), 8)
+        pool0, _ = F.coefinit(layout, Ap.to_scipy(), dtype=np.float32)
+
+        orig = G.group_levels
+        G.group_levels = lambda levels, npool, nbc, **kw: [
+            ("unroll", lv) for lv in levels
+        ]
+        kind = (
+            Factorization.LLT if kind_name == "llt" else Factorization.LDLT
+        )
+        try:
+            fact = F.build_factorize_fn(
+                layout, kind, use_pallas=True,
+                update_dtype=jnp.bfloat16,
+            )
+        finally:
+            G.group_levels = orig
+        solv = build_solve_fn(layout, kind)
+        b = Ap.to_scipy() @ np.ones(A.n)
+        bb = jnp.asarray(rhs_to_blocks(layout, b, dtype=np.float32))
+        if kind == Factorization.LLT:
+            x = solv(fact(jnp.asarray(pool0)), bb)
+        else:
+            pool, d, npiv = fact(jnp.asarray(pool0), jnp.float32(1e-12))
+            x = solv(pool, d, bb)
+        xs = blocks_to_rhs(layout, np.asarray(x))
+        # bf16 updates: refinement-grade accuracy, not fp32-exact
+        assert np.abs(xs - 1).max() < 5e-2
+
+
+def test_full_lu_stream_path(monkeypatch):
+    """LU end-to-end through the dual bf16 panel streams (L and U)."""
+    import pastix_tpu.numeric.pallas_kernels as PK
+    from pastix_tpu.generators import random_unsym
+    from pastix_tpu.order import compute_ordering
+    from pastix_tpu.analyze import build_layout
+    from pastix_tpu.solve import build_solve_fn, rhs_to_blocks, blocks_to_rhs
+    from pastix_tpu.config import PastixConfig, Factorization
+    import pastix_tpu.numeric.grouping as G
+    import importlib
+
+    F = importlib.import_module("pastix_tpu.numeric.factorize")
+    monkeypatch.setenv("PASTIX_E2_STREAM", "1")
+    monkeypatch.setattr(F, "_PANEL_CHUNK", 7)
+    monkeypatch.setattr(PK, "_INTERPRET", True)
+
+    A = random_unsym(220, density=0.03, seed=5)
+    o = compute_ordering(A.pattern_sym_scipy(), PastixConfig())
+    Ap = A.permuted(o.permtab)
+    layout = build_layout(Ap.pattern_sym_scipy(), 8, for_lu=True)
+    pool0, pool_u0 = F.coefinit(
+        layout, Ap.to_scipy(), dtype=np.float32, for_lu=True
+    )
+    orig = G.group_levels
+    G.group_levels = lambda levels, npool, nbc, **kw: [
+        ("unroll", lv) for lv in levels
+    ]
+    try:
+        fact = F.build_factorize_fn(
+            layout, Factorization.LU, use_pallas=True,
+            update_dtype=jnp.bfloat16,
+        )
+    finally:
+        G.group_levels = orig
+    pool, pool_u, npiv = fact(
+        jnp.asarray(pool0), jnp.asarray(pool_u0), jnp.float32(1e-10)
+    )
+    solv = build_solve_fn(layout, Factorization.LU)
+    b = Ap.to_scipy() @ np.ones(A.n)
+    bb = jnp.asarray(rhs_to_blocks(layout, b, dtype=np.float32))
+    x = solv(pool, pool_u, bb)
+    xs = blocks_to_rhs(layout, np.asarray(x))
+    assert np.abs(xs - 1).max() < 5e-2  # bf16-update grade
