@@ -52,6 +52,10 @@ class PoolSharding:
     owner: np.ndarray  # (npool,) int32
     loc: np.ndarray  # (npool,) int32
     owner_col: np.ndarray  # (nbc,) int32 block-column owner
+    # dense-tail row-slab boundaries (ndev+1): device d owns tail tile
+    # rows [tail_rows[d], tail_rows[d+1]).  Equal-AREA by default (the
+    # tail is lower-triangular); None -> uniform ceil(q/ndev) slabs
+    tail_rows: "np.ndarray | None" = None
 
     def to_local(self, pool: np.ndarray) -> np.ndarray:
         """(npool, T, T) host pool -> (ndev, nloc, T, T) sharded layout."""
@@ -123,6 +127,7 @@ def build_pool_sharding(
         owner[t_p] = np.searchsorted(
             bounds, np.asarray(dense_tail.qi), side="right"
         ).astype(np.int32)
+        tail_rows = np.concatenate([[0], bounds])
     loc = np.zeros(npool, np.int32)
     nloc = 0
     for d in range(ndev):
@@ -132,6 +137,7 @@ def build_pool_sharding(
     return PoolSharding(
         ndev=ndev, nloc=max(nloc, 1), owner=owner, loc=loc,
         owner_col=owner_col,
+        tail_rows=tail_rows if dense_tail is not None else None,
     )
 
 
@@ -384,7 +390,20 @@ def _owner_tail(layout: SolverLayout, dense_tail, sh: PoolSharding,
     T = layout.T
     tq = dense_tail.q
     ndev = sh.ndev
-    L = -(-tq // ndev)
+    # per-device tail row ranges [lo_d, hi_d) — equal-area by default
+    # (build_pool_sharding); the slab buffer height L is the max range
+    if sh.tail_rows is not None:
+        tail_rows = np.asarray(sh.tail_rows, np.int64)
+    else:
+        Lu = -(-tq // ndev)
+        tail_rows = np.minimum(np.arange(ndev + 1) * Lu, tq)
+    lo_np = tail_rows[:-1]
+    hi_np = tail_rows[1:]
+    L = max(int((hi_np - lo_np).max()), 1)
+    # row r of the all_gather'd (ndev*L) padded slab stack lives at
+    # d(r)*L + (r - lo_d(r)) — host-precomputed gather map
+    r_dev = np.searchsorted(tail_rows, np.arange(tq), side="right") - 1
+    row_map = (r_dev * L + (np.arange(tq) - lo_np[r_dev])).astype(np.int32)
     t_p = np.asarray(dense_tail.p_idx)
     t_qi = np.asarray(dense_tail.qi)
     t_qj = np.asarray(dense_tail.qj)
@@ -392,7 +411,7 @@ def _owner_tail(layout: SolverLayout, dense_tail, sh: PoolSharding,
     for d in range(ndev):
         sel = np.flatnonzero(sh.owner[t_p] == d)
         loc_rows.append(sh.loc[t_p[sel]])
-        qi_rows.append(t_qi[sel] - d * L)
+        qi_rows.append(t_qi[sel] - lo_np[d])
         qj_rows.append(t_qj[sel])
     mw = max(max(len(r) for r in loc_rows), 1)
     tloc = _pad2(loc_rows, mw, sh.nloc)
@@ -404,14 +423,16 @@ def _owner_tail(layout: SolverLayout, dense_tail, sh: PoolSharding,
         loc_me = jnp.asarray(tloc)[me]
         qi_me = jnp.asarray(tqi)[me]
         qj_me = jnp.asarray(tqj)[me]
+        lo_me = jnp.asarray(lo_np, jnp.int32)[me]
+        hi_me = jnp.asarray(hi_np, jnp.int32)[me]
         slab = jnp.zeros((L, T, tq, T), p.dtype)
         slab = slab.at[qi_me, :, qj_me, :].set(p[loc_me])
-        gr = me * L + jnp.arange(L)
+        gr = lo_me + jnp.arange(L)
 
         def step(j, slab):
             j = j.astype(jnp.int32)
-            own = (j >= me * L) & (j < (me + 1) * L)
-            jl = jnp.clip(j - me * L, 0, L - 1).astype(jnp.int32)
+            own = (j >= lo_me) & (j < hi_me)
+            jl = jnp.clip(j - lo_me, 0, L - 1).astype(jnp.int32)
             zero = jnp.int32(0)
             d_own = lax.dynamic_slice(slab, (jl, zero, j, zero),
                                       (1, T, 1, T))
@@ -436,7 +457,11 @@ def _owner_tail(layout: SolverLayout, dense_tail, sh: PoolSharding,
             slab = lax.dynamic_update_slice(
                 slab, keep[:, :, None, :], (zero, zero, j, zero)
             )
-            Pfull = lax.all_gather(Pn, tp_axis, axis=0, tiled=True)[:tq]
+            # variable slab heights: select real rows out of the padded
+            # (ndev*L) stack with the host-precomputed row map
+            Pfull = lax.all_gather(Pn, tp_axis, axis=0, tiled=True)[
+                jnp.asarray(row_map)
+            ]
             Pa = Pn.astype(update_dtype) if update_dtype else Pn
             Pb = Pfull.astype(update_dtype) if update_dtype else Pfull
             contrib = jnp.einsum(
@@ -453,7 +478,7 @@ def _owner_tail(layout: SolverLayout, dense_tail, sh: PoolSharding,
         """Replicated dense tail (q*T, q*T) via one psum (solve path)."""
         me = lax.axis_index(tp_axis)
         loc_me = jnp.asarray(tloc)[me]
-        qi_me = jnp.asarray(tqi)[me] + me * L
+        qi_me = jnp.asarray(tqi)[me] + jnp.asarray(lo_np, jnp.int32)[me]
         qj_me = jnp.asarray(tqj)[me]
         dense = jnp.zeros((tq, T, tq, T), p.dtype)
         # pads carry loc == nloc (qi pad = L lands INSIDE the dense for
