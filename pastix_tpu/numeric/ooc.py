@@ -621,15 +621,51 @@ def solve_ooc(
     With ``d`` (the LDL^T pivots, (nbc, T)): unit-diagonal sweeps with the
     D scaling applied between them — the streamed twin of solve.py's
     solve_ldlt.  With ``host_pool_u`` (streamed LU): unit-lower forward on
-    the L windows, upper backward on the Ut windows."""
+    the L windows, upper backward on the Ut windows.
+
+    By default the sweeps run on the HOST CPU backend: the factors are
+    already host-resident after streaming, and re-streaming every window
+    through the device (x2 directions x every refinement iteration)
+    made the refined OOC solve transfer-dominated — minutes per
+    iteration on the remote-TPU tunnel (round 4, 80^3 x 4 segments).
+    The triangular sweeps are latency-bound, not flop-bound, so the CPU
+    loses little; PASTIX_OOC_HOST_SOLVE=0 keeps them on the accelerator.
+    """
+    import os as _os
+
+    host_solve = _os.environ.get("PASTIX_OOC_HOST_SOLVE", "1")
+    if host_solve != "0" and (
+        jax.default_backend() != "cpu" or host_solve == "force"
+    ):
+        with jax.default_device(jax.devices("cpu")[0]):
+            return _solve_ooc_impl(
+                layout, plan, host_pool, b_blocks, hermitian=hermitian,
+                d=d, host_pool_u=host_pool_u, cache_tag="_cpu",
+            )
+    return _solve_ooc_impl(
+        layout, plan, host_pool, b_blocks, hermitian=hermitian, d=d,
+        host_pool_u=host_pool_u,
+    )
+
+
+def _solve_ooc_impl(
+    layout: SolverLayout,
+    plan: OOCPlan,
+    host_pool: np.ndarray,
+    b_blocks: np.ndarray,
+    hermitian: bool = True,
+    d: Optional[np.ndarray] = None,
+    host_pool_u: Optional[np.ndarray] = None,
+    cache_tag: str = "",
+) -> np.ndarray:
     if host_pool_u is not None:
         y = jnp.asarray(b_blocks)
         fns = []
         for seg in plan.segments:
-            f = getattr(seg, "_solve_fns_lu", None)
+            f = getattr(seg, "_solve_fns_lu" + cache_tag, None)
             if f is None:
                 f = build_segment_solve_fns_lu(layout, seg)
-                seg._solve_fns_lu = f
+                setattr(seg, "_solve_fns_lu" + cache_tag, f)
             fns.append(f)
         def _sync_lu(v):
             np.asarray(v.ravel()[-1:])  # see _sync below: free windows
@@ -648,7 +684,7 @@ def solve_ooc(
     unit = d is not None
     y = jnp.asarray(b_blocks)
     fns = []
-    cache = "_solve_fns_unit" if unit else "_solve_fns"
+    cache = ("_solve_fns_unit" if unit else "_solve_fns") + cache_tag
     for seg in plan.segments:
         f = getattr(seg, cache, None)
         if f is None:
