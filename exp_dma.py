@@ -198,3 +198,10 @@ for D in (2, 4, 8):
     probe_sub(pool2, 64, 1, D, 1024, 64, "32KB (64,128)")
 for D in (2, 4, 8):
     probe_sub(pool4, 32, 1, D, 1024, 64, "16KB (32,128)")
+
+print("--- deeper pipelines on sub-tile sizes (round-5: can row-bounded"
+      " 16KB fetches escape the latency floor?) ---", flush=True)
+for D in (12, 16):
+    probe_sub(pool2, 64, 1, D, 512, 64, "32KB (64,128)")
+for D in (12, 16):
+    probe_sub(pool4, 32, 1, D, 512, 64, "16KB (32,128)")
