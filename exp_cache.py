@@ -58,8 +58,9 @@ xab = jnp.asarray(
 ).astype(jnp.bfloat16)
 
 CHUNK = int(sys.argv[4]) if len(sys.argv) > 4 else 1536
+GRP = int(sys.argv[5]) if len(sys.argv) > 5 else 2
 sched = build_pipeline_schedule(
-    lv.gemm_a, lv.gemm_b, lv.gemm_d, chunk=CHUNK, group=2,
+    lv.gemm_a, lv.gemm_b, lv.gemm_d, chunk=CHUNK, group=GRP,
     ext_tiles=tp,
 )
 # per-chunk uniq compact ids + cache size
