@@ -121,11 +121,12 @@ class PastixConfig:
     cluster_supernode_rows: bool = True  # within-supernode dof sort that
     # clusters rows reached by the same descendants into the same row
     # tiles (~9% fewer padded flops; no fill change, no reference analog)
-    amalg_target_frac: float = 0.5  # chain-merge supernodes until width >=
-    # this fraction of the tile size.  0.5 measured fastest on TPU v5e at
-    # the 48^3 bench (277 ms vs 361 ms at the previous 0.75 default:
-    # fewer padded flops AND fewer elimination levels)
-    # (~6x fewer padded flops / ~10x fewer levels for ~30% extra padded rows)
+    amalg_target_frac: float = 0.30  # chain-merge supernodes until width >=
+    # this fraction of the tile size.  Flagship sweep (exp_pad2, v5e r4):
+    # 0.28-0.35 gives padded/useful 3.20-3.22 vs 3.38 at the old 0.5
+    # default, with FEWER levels (202-205 vs 222) and ~equal pool — the
+    # wider columns the old target bought were mostly padding.
+    # (~6x fewer padded flops / ~10x fewer levels vs no amalgamation)
 
     # --- numeric (phase 4) ---
     compute_dtype: str = "float32"  # factor storage/compute dtype

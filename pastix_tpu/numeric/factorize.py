@@ -203,7 +203,8 @@ def _scan_chunks(carry, tables, fills, body, chunk=None):
     return carry
 
 
-def _unroll_tables(lv, use_pallas: bool = False, slab_ctx=None):
+def _unroll_tables(lv, use_pallas: bool = False, slab_ctx=None,
+                   ll_inc=None, ll_ctx=None):
     t = {
         "cols": np.asarray(lv.cols),
         "diag": np.asarray(lv.diag),
@@ -218,6 +219,24 @@ def _unroll_tables(lv, use_pallas: bool = False, slab_ctx=None):
         "gk": np.asarray(lv.gemm_k),
         "gnd": (np.flatnonzero(lv.gemm_nondiag).astype(np.int32)),
     }
+    if ll_ctx is not None and ll_inc is not None and ll_inc[0].size:
+        # left-looking incoming pass: all updates INTO this level's
+        # columns, applied before its DIAG/TRSM (leftlook.py)
+        from pastix_tpu.numeric.leftlook import build_ll_schedule
+
+        ga_i, gb_i, gd_i, gk_i, nd_i = ll_inc
+        t["p_in"] = build_ll_schedule(
+            ga_i, gb_i, gd_i,
+            gk=gk_i if ll_ctx.get("scaled") else None,
+            group=ll_ctx["group"], cap=ll_ctx["cap"],
+            mode=ll_ctx.get("mode", "auto"),
+        )
+        if ll_ctx.get("lu") and nd_i.any():
+            t["p_in_nd"] = build_ll_schedule(
+                ga_i[nd_i], gb_i[nd_i], gd_i[nd_i],
+                group=ll_ctx["group"], cap=ll_ctx["cap"],
+                mode=ll_ctx.get("mode", "auto"),
+            )
     if use_pallas and lv.gemm_a.size:
         from pastix_tpu.numeric.pallas_kernels import build_pipeline_schedule
 
@@ -490,19 +509,38 @@ def build_factorize_fn(
         from pastix_tpu.numeric.pallas_kernels import gemm_scatter_pipelined
         from pastix_tpu.numeric.slab_kernels import gemm_scatter_slab
         from pastix_tpu.numeric.block_kernels import gemm_scatter_block
+        from pastix_tpu.numeric.leftlook import gemm_scatter_ll
 
     # byte-efficient E2 schedules (LLT/LDLT real dtypes):
     #   PASTIX_E2_BLOCK=1 (default): dst-block blocked GEMM
     #     (block_kernels.py) — per-entry cost gate, pair-kernel fallback
     #   PASTIX_E2_SLAB=1 + PASTIX_E2_BLOCK=0: panel-slab schedule
     #   both 0: per-pair pipelined kernel everywhere
+    # Left-looking E2 (round 5, leftlook.py): the byte model located the
+    # E2 wall in per-source-level dst RMWs (217 GB at the flagship);
+    # regrouping updates at their TARGET level cuts dst traffic ~14x and
+    # makes segment-grouped MXU dots + the b-side VMEM operand cache pay.
+    # Default ON for the pallas path; PASTIX_E2_LL=0 reverts to the
+    # round-4 right-looking stream kernel.
+    use_ll = (
+        use_pallas
+        and update_dtype is not None
+        and packed_plan is None
+        and kind in (Factorization.LLT, Factorization.LDLT,
+                     Factorization.LU)
+        and _os_mod.environ.get("PASTIX_E2_LL", "1") != "0"
+    )
+
     slab_ctx = None
     # default ON since round 4: flagship 1824 -> 1609 ms (residual
     # identical); PASTIX_E2_STREAM=0 reverts to pool-read operands
     use_stream = _os_mod.environ.get("PASTIX_E2_STREAM", "1") != "0"
     use_block = _os_mod.environ.get("PASTIX_E2_BLOCK", "1") != "0"
+    if use_ll:
+        use_stream = use_block = False
     if (
-        use_pallas
+        not use_ll
+        and use_pallas
         and (
             kind in (Factorization.LLT, Factorization.LDLT)
             or (kind == Factorization.LU and use_stream)
@@ -559,10 +597,91 @@ def build_factorize_fn(
     from pastix_tpu.numeric.grouping import group_plan, _stack_levels
 
     is_lu = kind == Factorization.LU
+
+    # --- left-looking regroup (leftlook.regroup_left) -------------------
+    ll_ctx = None
+    ll_incoming = None
+    p_tail = None
+    if use_ll:
+        from pastix_tpu.numeric.leftlook import (
+            build_ll_schedule, regroup_left,
+        )
+
+        # plan unroll/scan on INCOMING-inflated sizes: the top levels
+        # have small outgoing but large incoming update lists, and scan
+        # bodies cannot host per-level static pallas schedules
+        ncol_ll = int(layout.nbc)
+        col2li = np.full(ncol_ll, -1, np.int64)
+        for li_, lv_ in enumerate(levels):
+            col2li[lv_.cols] = li_
+        inc_n = np.zeros(len(levels), np.int64)
+        for lv_ in levels:
+            if lv_.gemm_d.size == 0:
+                continue
+            tcol = layout.blk_col[lv_.gemm_d]
+            m_ = (
+                tcol < dense_tail.s if dense_tail is not None
+                else np.ones(tcol.size, bool)
+            )
+            tli = col2li[tcol[m_]]
+            np.add.at(inc_n, tli[tli >= 0], 1)
+
+        class _SizeShim:
+            __slots__ = ("gemm_a", "trsm_panel", "diag")
+
+            class _N:
+                __slots__ = ("size",)
+
+                def __init__(self, n):
+                    self.size = n
+
+            def __init__(self, g, t_, d_):
+                self.gemm_a = self._N(g)
+                self.trsm_panel = self._N(t_)
+                self.diag = self._N(d_)
+
+        shims = [
+            _SizeShim(int(lv_.gemm_a.size + inc_n[i_]),
+                      int(lv_.trsm_panel.size), int(lv_.diag.size))
+            for i_, lv_ in enumerate(levels)
+        ]
+        gplan = group_plan(shims, T=layout.T)
+        unrolled_set = {i_ for tag_, i_ in gplan if tag_ == "unroll"}
+        levels, ll_incoming, ll_tail = regroup_left(
+            levels, layout.blk_col,
+            dense_tail.s if dense_tail is not None else None,
+            unrolled_set,
+        )
+        ll_ctx = {
+            "group": int(_os_mod.environ.get("PASTIX_LL_GROUP", "4")),
+            "cap": int(_os_mod.environ.get("PASTIX_LL_CAP", "1024")),
+            "mode": _os_mod.environ.get("PASTIX_LL_MODE", "auto"),
+            "scaled": kind in (Factorization.LDLT, Factorization.LDLH),
+            "lu": is_lu,
+        }
+        if ll_tail is not None and ll_tail[0].size:
+            # dense-tail pre-pass: every update targeting a tail tile,
+            # applied once before tail_factor (the a/b-reuse here is the
+            # highest in the whole plan: ~83 pairs per dst tile)
+            p_tail = build_ll_schedule(
+                ll_tail[0], ll_tail[1], ll_tail[2],
+                group=ll_ctx["group"], cap=ll_ctx["cap"],
+                # measured at the flagship: the tail list's per-chunk
+                # a-uniq density is poor (~2 ops/pair even at cap 1792),
+                # so the fp32 per-pair a-DMA beats caching both sides
+                mode=_os_mod.environ.get("PASTIX_LL_TAIL_MODE", "bcache"),
+            )
+    else:
+        gplan = group_plan(levels, T=layout.T)
+
     plan = []
-    for tag, item in group_plan(levels, T=layout.T):
+    for tag, item in gplan:
         if tag == "unroll":
-            t = _unroll_tables(levels[item], use_pallas, slab_ctx)
+            t = _unroll_tables(
+                levels[item], use_pallas, slab_ctx,
+                ll_inc=ll_incoming[item] if ll_incoming else None,
+                ll_ctx=ll_ctx,
+            )
             if packed:
                 t.update(_packed_unroll(packed_plan.levels[item], is_lu))
         else:
@@ -628,7 +747,8 @@ def build_factorize_fn(
             ) * 2.0 * layout.T ** 3
 
     plan_tags = [tag for tag, _ in plan]
-    _static_keys = ("p_full", "p_nd", "p_slab", "p_blk", "p_fb")
+    _static_keys = ("p_full", "p_nd", "p_slab", "p_blk", "p_fb",
+                    "p_in", "p_in_nd")
     plan_static = [
         {k: t[k] for k in _static_keys if k in t} for _, t in plan
     ]
@@ -644,6 +764,17 @@ def build_factorize_fn(
             (tag, {**t, **st})
             for tag, t, st in zip(plan_tags, tables, plan_static)
         )
+
+    jit_opts = {}
+    if use_ll and jax.default_backend() == "tpu":
+        # the LL kernel's VMEM operand cache (cap tiles x 32 KB bf16)
+        # exceeds XLA's default 16 MiB scoped-vmem budget; the v5e has
+        # 128 MiB — raise the limit for this program only
+        jit_opts["compiler_options"] = {
+            "xla_tpu_scoped_vmem_limit_kib": int(
+                _os_mod.environ.get("PASTIX_VMEM_KIB", "65536")
+            )
+        }
 
     if dense_tail is not None:
         t_p = np.asarray(dense_tail.p_idx)
@@ -727,6 +858,11 @@ def build_factorize_fn(
         fused_scan = _f in ("1", "scan")
 
         def llt_level(pool, t, fused_diag):
+            if "p_in" in t and not jnp.iscomplexobj(pool):
+                # left-looking: apply every update INTO this level first
+                pool = gemm_scatter_ll(
+                    pool, t["p_in"], update_dtype=update_dtype
+                )
             if t["tp"].size and fused_diag:
                 # fused DIAG factor + tile inverse: ONE ~T-step serial loop
                 # per level instead of two (cholesky expander + triangular-
@@ -863,11 +999,17 @@ def build_factorize_fn(
                         return llt_level(pool, x, fused_scan), None
 
                     pool, _ = lax.scan(body, pool, t)
+            if p_tail is not None and not jnp.iscomplexobj(pool):
+                # dense-tail pre-pass: all updates into tail tiles, once
+                pool = gemm_scatter_ll(
+                    pool, p_tail, update_dtype=update_dtype
+                )
             if dense_tail is not None:
                 pool = tail_factor(pool)
             return pool
 
-        jfn = jax.jit(fact_llt, donate_argnums=(0,) if donate else ())
+        jfn = jax.jit(fact_llt, donate_argnums=(0,) if donate else (),
+                      **jit_opts)
         fn = lambda pool: jfn(pool, plan_tables)
         fn.e2_saved_flops = e2_saved
         return fn
@@ -876,6 +1018,12 @@ def build_factorize_fn(
 
         def ldlt_level(carry, t):
             pool, d_arr, npiv = carry
+            if "p_in" in t and not jnp.iscomplexobj(pool):
+                # left-looking incoming pass; a-columns scaled by the
+                # source columns' pivots (all from earlier levels)
+                pool = gemm_scatter_ll(
+                    pool, t["p_in"], d=d_arr, update_dtype=update_dtype
+                )
             if t["tp"].size:
                 # fused DIAG factor + unit-L inverse (one serial loop/level)
                 L, d, dinv, piv = K.ldlt_inv_batch(
@@ -1022,7 +1170,8 @@ def build_factorize_fn(
                     )
             return pool, d_arr, npiv
 
-        jfn = jax.jit(fact_ldlt, donate_argnums=(0,) if donate else ())
+        jfn = jax.jit(fact_ldlt, donate_argnums=(0,) if donate else (),
+                      **jit_opts)
         fn = lambda pool, eps: jfn(pool, eps, plan_tables)
         fn.e2_saved_flops = e2_saved
         return fn
@@ -1104,6 +1253,19 @@ def build_factorize_fn(
 
         def lu_level_unroll(carry, t, eps):
             pool, pool_u, npiv = carry
+            if "p_in" in t and not jnp.iscomplexobj(pool):
+                # left-looking: A(I,K) -= L(I,J) @ U(J,K) into the L pool
+                # (b = Ut tiles cached from the U pool), then the U-side
+                # mirror for off-diagonal targets
+                pool = gemm_scatter_ll(
+                    pool, t["p_in"], src_pool=pool_u,
+                    update_dtype=update_dtype,
+                )
+                if "p_in_nd" in t:
+                    pool_u = gemm_scatter_ll(
+                        pool_u, t["p_in_nd"], src_pool=pool,
+                        update_dtype=update_dtype,
+                    )
             if t["tp"].size:
                 diag, linv, uinv_t, piv = K.getrf_inv_batch(
                     pool[t["diag"]], eps
@@ -1256,7 +1418,8 @@ def build_factorize_fn(
                     )
             return pool, pool_u, npiv
 
-        jfn = jax.jit(fact_lu, donate_argnums=(0, 1) if donate else ())
+        jfn = jax.jit(fact_lu, donate_argnums=(0, 1) if donate else (),
+                      **jit_opts)
         fn = lambda pool, pool_u, eps: jfn(pool, pool_u, eps, plan_tables)
         fn.e2_saved_flops = e2_saved
         return fn
