@@ -81,6 +81,9 @@ def main():
             stdout=subprocess.PIPE, text=True, bufsize=1,
         )
         state = {"json": None, "alive_seen": False, "killed": None}
+        # forward EVERY JSON line the instant it appears (the flagship
+        # line first, rung lines after — VERDICT r4 item 6: the driver's
+        # artifact must carry poisson + elas3 + convdiff)
 
         def _kill(reason):
             state["killed"] = reason
@@ -105,8 +108,7 @@ def main():
                     continue
                 state["alive_seen"] = True
                 if line.startswith("{"):
-                    if state["json"] is None:
-                        print(line, flush=True)  # land it NOW
+                    print(line, flush=True)  # land it NOW
                     state["json"] = line
                 else:
                     log(f"[child] {line}")
@@ -120,17 +122,43 @@ def main():
         return state["json"], p.returncode
 
     probe_s = float(os.environ.get("PASTIX_BENCH_PROBE_S", "150"))
-    # reserve time for a CPU fallback pass
-    tpu_budget = max(60.0, _remaining() - 90.0)
-    jl, rc = run_child({}, tpu_budget, probe_s=probe_s)
-    if jl:
-        return
-    log(f"TPU bench child produced no result (rc={rc}) -> CPU fallback")
-    jl, rc = run_child(
-        {"PASTIX_BENCH_FORCE_CPU": "1"}, max(45.0, _remaining())
+    # reserve time for a CPU fallback pass AND the ladder rungs
+    rungs_on = os.environ.get("PASTIX_BENCH_RUNGS", "1") != "0" and not (
+        os.environ.get("PASTIX_BENCH_CONFIG")
+        or os.environ.get("PASTIX_BENCH_NX")
     )
+    # the flagship keeps >=280 s (its warm path incl. analysis + follow-up)
+    # so the rung reserve never demotes it down the nx ladder
+    rung_reserve = (
+        min(200.0, max(0.0, _remaining() - 90.0 - 280.0))
+        if rungs_on else 0.0
+    )
+    tpu_budget = max(60.0, _remaining() - 90.0 - rung_reserve)
+    jl, rc = run_child({}, tpu_budget, probe_s=probe_s)
     if not jl:
-        raise SystemExit(f"bench failed on CPU too (rc={rc})")
+        log(f"TPU bench child produced no result (rc={rc}) -> CPU fallback")
+        jl, rc = run_child(
+            {"PASTIX_BENCH_FORCE_CPU": "1"}, max(45.0, _remaining())
+        )
+        if not jl:
+            raise SystemExit(f"bench failed on CPU too (rc={rc})")
+        return
+    # ladder rungs 3-4 (BASELINE configs: elasticity LL^T, nonsymmetric
+    # LU) — best-effort extra JSON lines inside whatever budget is left
+    if rungs_on:
+        for cfg_name, nx in (("elas3", "60"), ("convdiff", "70")):
+            if _remaining() < 130:
+                log(f"rung {cfg_name}: skipped (budget)")
+                break
+            run_child(
+                {
+                    "PASTIX_BENCH_CONFIG": cfg_name,
+                    "PASTIX_BENCH_NX": nx,
+                    "PASTIX_BENCH_REPS": "2",
+                },
+                max(60.0, _remaining() - 15.0),
+                probe_s=probe_s,
+            )
 
 
 def _cache_warm(cache_dir):

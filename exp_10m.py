@@ -66,34 +66,44 @@ def _sample():
 _stop = threading.Event()
 threading.Thread(target=_sample, daemon=True).start()
 t0 = time.time()
-# analysis-only: build the static plan directly.  Pastix.analyze() also
-# builds the jitted factorize/solve programs, whose host-side schedule
-# copies multiply the 2.3e8-pair tables; at 10M the plan itself is the
-# deliverable (a 52 GiB pool needs multi-chip or OOC to factor anyway).
-from pastix_tpu.analyze.layout import build_layout
-
-lay = build_layout(s._pat_perm_ext, s._tile_size,
-                   densify_tail_frac=cfg.dense_tail_fill)
-s.layout = lay
+# the PRODUCT analyze path: with auto-OOC forced (as a 13 GiB chip
+# would), the resident-pool program builders are skipped and analyze
+# reduces to layout + dense-tail decision + OOC segmentation — the
+# low-memory mode VERDICT r4 asked for.  (The r4 attempt bypassed
+# Pastix.analyze entirely with a layout-only call.)
+os.environ["PASTIX_FORCE_AUTO_OOC"] = "1"
+s.analyze()
 _stop.set()
+lay = s.layout
 pool_gb = lay.npool * lay.T * lay.T * 4 / 2**30
 padded = lay.padded_flops()
-print(f"analyze(layout-only): {time.time()-t0:.1f}s tiles={lay.npool} "
+print(f"analyze(product, auto-OOC): {time.time()-t0:.1f}s tiles={lay.npool} "
       f"levels={len(lay.levels)} pool={pool_gb:.1f} GiB "
       f"padded/useful={padded/s.report.fact_flops:.2f} "
       f"rss {rss_gb():.1f} GB", flush=True)
 
-# what would the auto-OOC do on a 13 GiB chip?
-from pastix_tpu.numeric.ooc import plan_ooc
-
-hbm = float(os.environ.get("PASTIX_HBM_GB", "13")) * 2**30
-if pool_gb * 2**30 > hbm:
-    t0 = time.time()
-    plan = plan_ooc(lay, int(hbm), dtype_bytes=4)
+plan = s._ooc_plan
+if plan is None:
+    print("pool fits a 13 GiB chip resident", flush=True)
+else:
     mf = plan.max_footprint_tiles()
+    hbm = float(os.environ.get("PASTIX_HBM_GB", "13")) * 2**30
+    feasible = mf * lay.T**2 * 4 <= hbm
     print(f"auto-OOC plan: {len(plan.segments)} segments, max window "
           f"{mf} tiles ({mf * lay.T**2 * 4 / 2**30:.1f} GiB) "
-          f"[{time.time()-t0:.1f}s] rss {rss_gb():.1f} GB", flush=True)
-else:
-    print("pool fits a 13 GiB chip resident", flush=True)
+          f"feasible={feasible} rss {rss_gb():.1f} GB", flush=True)
+    assert feasible, "a segment window exceeds the HBM budget"
+    # prove the jitted program CONSTRUCTION fits host RAM: trace+lower
+    # the largest segment's factorize program (no arrays, no execution)
+    from pastix_tpu.numeric.ooc import build_segment_fact_fn
+
+    big = max(plan.segments, key=lambda g: g.footprint_tiles())
+    t0 = time.time()
+    fn = build_segment_fact_fn(lay, big, chunk=plan.gemm_chunk)
+    buf_shape = jax.ShapeDtypeStruct(
+        (big.footprint_tiles(), lay.T, lay.T), np.float32
+    )
+    out = jax.eval_shape(fn, buf_shape)
+    print(f"largest segment program traced: {time.time()-t0:.1f}s "
+          f"out={out.shape} rss {rss_gb():.1f} GB", flush=True)
 print("OK", flush=True)

@@ -230,12 +230,14 @@ def _unroll_tables(lv, use_pallas: bool = False, slab_ctx=None,
             gk=gk_i if ll_ctx.get("scaled") else None,
             group=ll_ctx["group"], cap=ll_ctx["cap"],
             mode=ll_ctx.get("mode", "auto"),
+            rb=ll_ctx.get("rb"), T=ll_ctx.get("T", 128),
         )
         if ll_ctx.get("lu") and nd_i.any():
             t["p_in_nd"] = build_ll_schedule(
                 ga_i[nd_i], gb_i[nd_i], gd_i[nd_i],
                 group=ll_ctx["group"], cap=ll_ctx["cap"],
                 mode=ll_ctx.get("mode", "auto"),
+                rb=ll_ctx.get("rb"), T=ll_ctx.get("T", 128),
             )
     if use_pallas and lv.gemm_a.size:
         from pastix_tpu.numeric.pallas_kernels import build_pipeline_schedule
@@ -652,12 +654,24 @@ def build_factorize_fn(
             dense_tail.s if dense_tail is not None else None,
             unrolled_set,
         )
+        # row-bounded dots (splitpart analog): a pair's contribution has
+        # nonzero rows only in its a tile's scalar row support — pass the
+        # per-tile bounds so build_ll_schedule classes pairs by quantized
+        # height and the kernel runs (H, T) x (T, T) dots
+        _rb = None
+        if (
+            layout.row_lo is not None
+            and _os_mod.environ.get("PASTIX_E2_ROWB", "1") != "0"
+        ):
+            _rb = (layout.row_lo, layout.row_hi)
         ll_ctx = {
             "group": int(_os_mod.environ.get("PASTIX_LL_GROUP", "4")),
             "cap": int(_os_mod.environ.get("PASTIX_LL_CAP", "1024")),
             "mode": _os_mod.environ.get("PASTIX_LL_MODE", "auto"),
             "scaled": kind in (Factorization.LDLT, Factorization.LDLH),
             "lu": is_lu,
+            "rb": _rb,
+            "T": layout.T,
         }
         if ll_tail is not None and ll_tail[0].size:
             # dense-tail pre-pass: every update targeting a tail tile,
@@ -666,6 +680,7 @@ def build_factorize_fn(
             p_tail = build_ll_schedule(
                 ll_tail[0], ll_tail[1], ll_tail[2],
                 group=ll_ctx["group"], cap=ll_ctx["cap"],
+                rb=ll_ctx["rb"], T=layout.T,
                 # measured at the flagship: the tail list's per-chunk
                 # a-uniq density is poor (~2 ops/pair even at cap 1792),
                 # so the fp32 per-pair a-DMA beats caching both sides
@@ -732,6 +747,12 @@ def build_factorize_fn(
     # read fn.e2_saved_flops for honest padded/useful reporting
     e2_saved = 0.0
     for _tag, _t in plan:
+        for _k in ("p_in", "p_in_nd"):
+            for _c in _t.get(_k, ()):  # LL row-bounded classes
+                _H = _c.get("H", layout.T)
+                e2_saved += (
+                    _c["n_real"] * (layout.T - _H) * 2.0 * layout.T ** 2
+                )
         if "p_slab" in _t:
             st = _t["p_slab"].stats
             e2_saved += (
@@ -745,6 +766,11 @@ def build_factorize_fn(
             e2_saved += (
                 st["pairs_blk"] - st["exec_tile_products"]
             ) * 2.0 * layout.T ** 3
+
+    if p_tail is not None:
+        for _c in p_tail:
+            _H = _c.get("H", layout.T)
+            e2_saved += _c["n_real"] * (layout.T - _H) * 2.0 * layout.T ** 2
 
     plan_tags = [tag for tag, _ in plan]
     _static_keys = ("p_full", "p_nd", "p_slab", "p_blk", "p_fb",
@@ -1489,29 +1515,77 @@ def factorize(
     return Factors(kind, layout, pool, pool_u, None, int(npiv))
 
 
+def _tri_inverse_doubling(D, lower: bool, unit: bool):
+    """Batched triangular-tile inverse by block doubling.
+
+    ``lax.linalg.triangular_solve`` against an identity RHS lowers to a
+    serial blocked loop that measured 31 s(!) for an (8600, 128, 128)
+    batch on the v5e — it is the reason the fast-solve path was gated
+    off at scale.  Block doubling runs in log2(T) rounds of two batched
+    MXU matmuls each (total ~2/3·B·T³ flops, milliseconds):
+
+      inv([[A, 0], [B, C]]) = [[Ai, 0], [-Ci·B·Ai, Ci]]      (lower)
+      inv([[A, B], [0, C]]) = [[Ai, -Ai·B·Ci], [0, Ci]]      (upper)
+
+    starting from the elementwise 1/diag (or ones for unit-diagonal).
+    """
+    B, T, _ = D.shape
+    dt = D.dtype
+    prec = K.matmul_precision()
+    # Everything stays (B, T, T): if X inverts the granularity-s block
+    # diagonal of D and M is the granularity-2s block diagonal, then
+    #   X' = 2X - X·M·X
+    # inverts M exactly (check [[A,0],[B,C]] against blkdiag(Ai, Ci)).
+    # Two full-width batched MXU matmuls per round, log2(T) rounds —
+    # earlier cuts that assembled (B, m, s, s) small blocks spent seconds
+    # in lane-padding (s x s tiles pad to 8 x 128 on the VPU).
+    eye = jnp.eye(T, dtype=dt)
+    if unit:
+        dd = jnp.ones((B, T), dt)
+    else:
+        dd = jnp.einsum("bii->bi", D)
+    X = eye * (1.0 / dd)[:, :, None]
+    idx = np.arange(T)
+    s = 1
+    while s < T:
+        s *= 2
+        blk = np.equal(idx[:, None] // s, idx[None, :] // s)
+        tri = (
+            np.tril(np.ones((T, T), bool))
+            if lower else np.triu(np.ones((T, T), bool))
+        )
+        mask = jnp.asarray(blk & tri, dt)
+        M = D * mask
+        if unit:
+            M = M - M * jnp.asarray(np.eye(T, dtype=bool), dt) + eye
+        MX = jnp.einsum(
+            "bij,bjk->bik", M, X, preferred_element_type=dt,
+            precision=prec,
+        )
+        X = 2.0 * X - jnp.einsum(
+            "bij,bjk->bik", X, MX, preferred_element_type=dt,
+            precision=prec,
+        )
+    return X
+
+
 def build_diag_inverse_fn(layout: SolverLayout, kind: Factorization,
                           hermitian: bool = True):
-    """Jitted batched inverse of every diagonal tile (one triangular loop
-    total).  The inverses turn all solve-sweep triangular solves into MXU
-    matmuls — the solve latency is otherwise dominated by per-level T-step
-    sequential loops (the updo hot-path observation from SURVEY.md §3.4).
+    """Jitted batched inverse of every diagonal tile (log2(T) doubling
+    rounds of batched MXU matmuls).  The inverses turn all solve-sweep
+    triangular solves into MXU matmuls — the solve latency is otherwise
+    dominated by per-level T-step sequential loops (the updo hot-path
+    observation from SURVEY.md §3.4).
 
     Returns fn(pool[, pool_u]) -> dinv (and dinv_u for LU)."""
     diag_idx = np.asarray(
         layout.lookup(np.arange(layout.nbc), np.arange(layout.nbc))
     ).astype(np.int32)
-    T = layout.T
 
     unit = kind != Factorization.LLT  # LDLT/LDLH/LU have unit lower factors
 
     def inv_lower(pool):
-        D = pool[diag_idx]
-        eye = jnp.broadcast_to(
-            jnp.eye(T, dtype=pool.dtype), (diag_idx.size, T, T)
-        )
-        return lax.linalg.triangular_solve(
-            D, eye, left_side=True, lower=True, unit_diagonal=unit
-        )
+        return _tri_inverse_doubling(pool[diag_idx], lower=True, unit=unit)
 
     if kind != Factorization.LU:
         return jax.jit(inv_lower)
@@ -1519,12 +1593,8 @@ def build_diag_inverse_fn(layout: SolverLayout, kind: Factorization,
     def inv_lu(pool, pool_u):
         del pool_u  # U diag lives in the combined L/U tile (upper part)
         dinv_l = inv_lower(pool)
-        D = pool[diag_idx]
-        eye = jnp.broadcast_to(
-            jnp.eye(T, dtype=pool.dtype), (diag_idx.size, T, T)
-        )
-        dinv_u = lax.linalg.triangular_solve(
-            D, eye, left_side=True, lower=False
+        dinv_u = _tri_inverse_doubling(
+            pool[diag_idx], lower=False, unit=False
         )
         return dinv_l, dinv_u
 

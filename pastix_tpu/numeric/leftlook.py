@@ -57,6 +57,8 @@ def build_ll_schedule(
     chunk_max: int = 16384,
     mode: str = "auto",
     full_reuse_min: float = 3.0,
+    rb=None,
+    T: int = 128,
 ):
     """Dst-sorted, segment-padded-to-G chunked schedule for the LL kernel.
 
@@ -65,6 +67,16 @@ def build_ll_schedule(
       "full"  : both operands cached (a-reuse must make the cap worthwhile)
       "auto"  : "full" iff the list's a-side reuse >= ``full_reuse_min``
     ``cap``: max unique cached tiles per chunk (scoped-VMEM budget).
+
+    ``rb``: optional (row_lo, row_hi) per-pool-tile scalar row supports
+    (layout.row_lo/row_hi — the splitpart IPARM_MIN_BLOCKSIZE analog,
+    reference ``src/blend/src/splitpart.c``).  A pair's contribution has
+    nonzero rows only inside its *a* tile's support, so pairs are
+    classed by quantized support height H in {T/4, T/2, 3T/4, T}
+    (start rounded down to the 8-sublane grid) and chunks are built
+    class-uniform: each chunk's dots run at static (H, T) x (T, T)
+    shape — device flops drop by the padding the full-tile schedule
+    would execute.  ``rb=None`` keeps full-height tiles.
     """
     ga = np.asarray(ga, np.int64)
     gb = np.asarray(gb, np.int64)
@@ -72,13 +84,44 @@ def build_ll_schedule(
     ng = gd.size
     if ng == 0:
         return []
-    order = np.argsort(gd, kind="stable")
-    ga, gb, gd = ga[order], gb[order], gd[order]
     if gk is not None:
-        gk = np.asarray(gk, np.int64)[order]
+        gk = np.asarray(gk, np.int64)
     if mode == "auto":
         r_a = ng / max(1, np.unique(ga).size)
         mode = "full" if r_a >= full_reuse_min else "bcache"
+    if rb is not None:
+        row_lo, row_hi = rb
+        rl = np.asarray(row_lo, np.int64)[ga]
+        rh = np.asarray(row_hi, np.int64)[ga]
+        rl = (rl // 8) * 8
+        q = T // 4
+        # row_hi is INCLUSIVE (layout.py): support height is rh+1-rl
+        H = np.clip(-(-(rh + 1 - rl) // q), 1, 4) * q
+        rl = np.minimum(rl, T - H)
+        out = []
+        for h in (q, 2 * q, 3 * q, 4 * q):
+            m = H == h
+            if not m.any():
+                continue
+            out.extend(_ll_chunks(
+                ga[m], gb[m], gd[m],
+                gk[m] if gk is not None else None,
+                rl[m], int(h), group, cap, chunk_max, mode, T,
+            ))
+        return out
+    return _ll_chunks(
+        ga, gb, gd, gk, np.zeros(ng, np.int64), T, group, cap,
+        chunk_max, mode, T,
+    )
+
+
+def _ll_chunks(ga, gb, gd, gk, rl, H, group, cap, chunk_max, mode, T):
+    """Core chunker for one row-height class (H == T: full tiles)."""
+    ng = gd.size
+    order = np.argsort(gd, kind="stable")
+    ga, gb, gd, rl = ga[order], gb[order], gd[order], rl[order]
+    if gk is not None:
+        gk = gk[order]
 
     # --- segment-pad to a multiple of group -----------------------------
     G = int(group)
@@ -97,6 +140,8 @@ def build_ll_schedule(
     pgb = np.full(npad_tot, -1, np.int64)
     pga[src_pos] = ga
     pgb[src_pos] = gb
+    prl = np.zeros(npad_tot, np.int64)
+    prl[src_pos] = rl
     if gk is not None:
         pgk = np.zeros(npad_tot, np.int64)
         pgk[src_pos] = gk
@@ -174,6 +219,8 @@ def build_ll_schedule(
             # quantized cache height: dedupes kernel compiles across chunks
             "CT": int(-(-(u.size + 1) // 64) * 64),
             "n_real": int(m.sum()),
+            "H": int(H), "T": int(T),
+            "rl": prl[lo * G: hi * G].astype(np.int32),
         }
         if mode == "full":
             t["ga_v"] = ga_v
@@ -189,19 +236,25 @@ def build_ll_schedule(
 
 
 def _mk_ll_kernel(nsteps, G, CT, scaled, a_dma, update_dtype, out_dtype,
-                  slots):
+                  slots, H=None, T=None):
     """One grid step = G pairs of ONE dst segment (null pads hit the
-    zeroed cache slot).  Flags/rd/gd are per-step tables."""
+    zeroed cache slot).  Flags/rd/gd are per-step tables.
+
+    ``H < T``: row-bounded class — a operands are (H, T) slices starting
+    at the per-pair ``rl`` row, dots run at (H, T) x (T, T), and each
+    pair accumulates into its own acc row window (no cross-pair register
+    accumulation; the rows differ)."""
     cdt = update_dtype
     S = slots
+    rowb = H is not None and T is not None and H < T
 
     def kernel(*args):
         if scaled:
-            ga, gb, gd, flags, rd, endw, endt, gk = args[:8]
-            refs = args[8:]
+            ga, gb, gd, flags, rd, endw, endt, gk, rlv = args[:9]
+            refs = args[9:]
         else:
-            ga, gb, gd, flags, rd, endw, endt = args[:7]
-            refs = args[7:]
+            ga, gb, gd, flags, rd, endw, endt, rlv = args[:8]
+            refs = args[8:]
         refs = refs[1:]  # drop the input pool ref (aliased to out)
         Xc = refs[0]
         refs = refs[1:]
@@ -216,8 +269,13 @@ def _mk_ll_kernel(nsteps, G, CT, scaled, a_dma, update_dtype, out_dtype,
 
         if a_dma:
             def a_cp(step, u, sl):
+                j = step * G + u
+                src = (
+                    out.at[ga[j], pl.ds(rlv[j], H)] if rowb
+                    else out.at[ga[j]]
+                )
                 return pltpu.make_async_copy(
-                    out.at[ga[step * G + u]], a_buf.at[sl, u], asem.at[sl, u]
+                    src, a_buf.at[sl, u], asem.at[sl, u]
                 )
 
         @pl.when(i == 0)
@@ -266,7 +324,9 @@ def _mk_ll_kernel(nsteps, G, CT, scaled, a_dma, update_dtype, out_dtype,
                     out.at[rd[i]], acc.at[q], rsem.at[q]
                 ).start()
 
-        # G register-accumulated MXU dots; null pads read the zero slot
+        # G MXU dots; null pads read the zero slot.  Full-height chunks
+        # accumulate the G contributions in registers (one acc RMW per
+        # step); row-bounded chunks RMW each pair's own row window.
         dn = (((1,), (1,)), ((), ()))
         sl = i % S if a_dma else 0
         contrib = None
@@ -275,6 +335,8 @@ def _mk_ll_kernel(nsteps, G, CT, scaled, a_dma, update_dtype, out_dtype,
             if a_dma:
                 a_cp(i, u, sl).wait()
                 a = a_buf[sl, u]
+            elif rowb:
+                a = cache[ga[j], pl.ds(rlv[j], H)]
             else:
                 a = cache[ga[j]]
             if scaled:
@@ -284,8 +346,13 @@ def _mk_ll_kernel(nsteps, G, CT, scaled, a_dma, update_dtype, out_dtype,
                 a.astype(cdt), b.astype(cdt), dn,
                 preferred_element_type=jnp.float32,
             )
-            contrib = c if contrib is None else contrib + c
-        acc[par] = acc[par] - contrib.astype(out_dtype)
+            if rowb:
+                w = pl.ds(rlv[j], H)
+                acc[par, w] = acc[par, w] - c.astype(out_dtype)
+            else:
+                contrib = c if contrib is None else contrib + c
+        if not rowb:
+            acc[par] = acc[par] - contrib.astype(out_dtype)
 
         @pl.when((f // _F_LAST) % 2 == 1)  # last step of a segment
         def _():
@@ -336,6 +403,8 @@ def gemm_scatter_ll(
         if ns == 0:
             continue
         G, CT = t["group"], t["CT"]
+        # clamp: schedules built without an explicit T default to T=128
+        H = min(int(t.get("H", T)), T)
         a_dma = t["mode"] == "bcache"
         cu = jnp.asarray(t["cu"])
         # gather the cache from the LOOP-CARRIED pool: operand tiles are
@@ -351,7 +420,8 @@ def gemm_scatter_ll(
             src[cu].astype(update_dtype)
         )
         kernel = _mk_ll_kernel(
-            ns, G, CT, scaled, a_dma, update_dtype, out_dtype, slots
+            ns, G, CT, scaled, a_dma, update_dtype, out_dtype, slots,
+            H=H, T=T,
         )
         scalars = [
             jnp.asarray(t["ga"] if a_dma else t["ga_v"]),
@@ -362,12 +432,15 @@ def gemm_scatter_ll(
         ]
         if scaled:
             scalars.append(jnp.asarray(t["gk"]))
+        scalars.append(jnp.asarray(
+            t.get("rl", np.zeros(ns * G, np.int32)).astype(np.int32)
+        ))
         nsc = len(scalars)
         scratch = [
             pltpu.VMEM((CT, T, T), update_dtype),  # operand cache
         ]
         if a_dma:
-            scratch.append(pltpu.VMEM((slots, G, T, T), out_dtype))
+            scratch.append(pltpu.VMEM((slots, G, H, T), out_dtype))
         scratch += [
             pltpu.VMEM((2, T, T), out_dtype),  # dst accumulators
             pltpu.SemaphoreType.DMA(()),
@@ -400,7 +473,7 @@ def gemm_scatter_ll(
             input_output_aliases={nsc: 0},
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
             cost_estimate=pl.CostEstimate(
-                flops=2 * ns * G * T * T * T,
+                flops=2 * ns * G * H * T * T,
                 bytes_accessed=ns * G * T * T * 4,
                 transcendentals=0,
             ),

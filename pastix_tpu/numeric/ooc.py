@@ -186,6 +186,90 @@ def plan_ooc(
         out = np.sort(out)
         n_win, n_out = win.size, out.size
 
+        # export-bounded splitting (10M rung, round 5): one top level's
+        # beyond-window update TARGETS alone can exceed any budget (31.5
+        # GiB of export slots measured at 9.9M dof) — the column
+        # pre-split cannot shrink them because every column updates
+        # ~the whole trailing matrix.  Emit multiple PASSES over the
+        # same window: pass 0 factors (diag+TRSM) and applies the
+        # in-window + first-slice updates; passes k>0 re-upload the
+        # (already factored) window with empty diag/TRSM tables and
+        # apply the next slice of export targets.  The reference's
+        # cblk-granular paging re-reads panels the same way
+        # (src/sopalin/src/ooc.c).
+        avail_out = budget_tiles - n_win - 1
+        if n_out > avail_out and avail_out >= max(32, n_win // 8):
+            nslice = -(-n_out // avail_out)
+            out_slices = np.array_split(out, nslice)
+        else:
+            out_slices = [out]
+
+        if len(out_slices) > 1:
+            lv_list = levels[i:jlast + 1]
+            for kslice, osl in enumerate(out_slices):
+                n_osl = osl.size
+
+                def remap_win(idx, win=win, n_win=n_win):
+                    pos = np.searchsorted(win, idx)
+                    assert np.all(win[np.minimum(pos, n_win - 1)] == idx)
+                    return pos.astype(np.int32)
+
+                def remap_tgt(idx, osl=osl, n_osl=n_osl):
+                    pos = np.searchsorted(win, idx)
+                    hit = (pos < n_win) & (
+                        win[np.minimum(pos, n_win - 1)] == idx
+                    )
+                    pos_out = np.searchsorted(osl, idx)
+                    return np.where(
+                        hit, pos,
+                        n_win + np.minimum(pos_out, max(n_osl - 1, 0)),
+                    ).astype(np.int32)
+
+                tables = []
+                for lv in lv_list:
+                    gd_np = np.asarray(lv.gemm_d)
+                    # pass 0 keeps in-window targets + slice 0; later
+                    # passes only their slice (in-window would re-apply)
+                    in_win = np.isin(gd_np, win)
+                    in_sl = np.isin(gd_np, osl)
+                    gm = in_sl | (in_win if kslice == 0 else
+                                  np.zeros(gd_np.size, bool))
+                    e = np.empty(0, np.int32)
+                    t = {
+                        "cols": (np.asarray(lv.cols, np.int32)
+                                 if kslice == 0 else e),
+                        "diag": (remap_win(lv.diag) if kslice == 0 else e),
+                        "tp": (remap_win(lv.trsm_panel)
+                               if kslice == 0 else e),
+                        "tr": (np.asarray(lv.trsm_row, np.int32)
+                               if kslice == 0 else e),
+                        "tc": (np.asarray(lv.trsm_col, np.int32)
+                               if kslice == 0 else e),
+                        "tcpos": (np.searchsorted(
+                            lv.cols, lv.trsm_col
+                        ).astype(np.int32) if kslice == 0 else e),
+                        "ga": remap_win(lv.gemm_a[gm]),
+                        "gb": remap_win(lv.gemm_b[gm]),
+                        "gd": remap_tgt(gd_np[gm]),
+                        "gk": np.asarray(lv.gemm_k[gm], np.int32),
+                    }
+                    if two_pools:
+                        nd = np.flatnonzero(
+                            np.asarray(lv.gemm_nondiag)[gm]
+                        )
+                        t["ga_nd"] = t["ga"][nd]
+                        t["gb_nd"] = t["gb"][nd]
+                        t["gd_nd"] = t["gd"][nd]
+                    tables.append(t)
+                segments.append(
+                    OOCSegment(
+                        win=win, touched_out=osl, tables=tables,
+                        n_win=n_win, n_out=n_osl,
+                    )
+                )
+            i = jlast + 1
+            continue
+
         # remap the segment's level tables into buf coordinates:
         # [0, n_win) window, [n_win, n_win+n_out) exports, last = pad
         def remap_win(idx):

@@ -63,6 +63,7 @@ class Pastix:
         self._A_perm64 = None  # fp64 copy for residuals
         self._fact_fn = None
         self._solve_fn = None
+        self._devstep_fns = None
         self._dinv_fn = None
         self._mesh = None
         self._sharded_refine_fn = None
@@ -628,6 +629,7 @@ class Pastix:
             self._fact_fn = self._solve_fn = None
             self._dinv_fn = self._solve_fn_inv = None
             self._devref_fn = None
+            self._devstep_fns = None
             self._sharded_refine_fn = None
         elif self._mesh is not None:
             from pastix_tpu.parallel import (
@@ -821,8 +823,41 @@ class Pastix:
 
         if _jx_backend.default_backend() == "cpu":
             fits_fast = True  # host RAM, not HBM: no cap on the test mesh
-        if cfg.fast_solve and self._mesh is None and self._ooc_plan is None \
-                and fits_fast:
+        # whole-sweep Pallas solve (numeric/sweep_kernels.py): RHS stays
+        # VMEM-resident, tiles stream through a deep DMA pipeline — no
+        # per-level dispatch, no gathered transients, no dense-tail solve
+        # temps.  It needs only dinv beyond the pool, so it gets a
+        # byte-accurate gate instead of the coarse pool-fraction one
+        # (which exists for the XLA inv path's per-level gather GBs).
+        _lu2 = 2 if cfg.factorization == Factorization.LU else 1
+        dinv_bytes = (
+            self.layout.nbc * self.layout.T ** 2
+            * np.dtype(cfg.compute_dtype).itemsize * _lu2
+        )
+        _hbm_b = float(os.environ.get("PASTIX_HBM_GB", "13")) * 2**30
+        self._sweep_solve = (
+            cfg.fast_solve
+            and self._mesh is None
+            and self._ooc_plan is None
+            and _jx_backend.default_backend() == "tpu"
+            and self.layout.T % 128 == 0
+            and not np.issubdtype(
+                np.dtype(cfg.compute_dtype), np.complexfloating
+            )
+            and os.environ.get("PASTIX_SWEEP_SOLVE", "1") != "0"
+            and pool_hbm_frac + (dinv_bytes + 2**30) / _hbm_b < 1.0
+        )
+        if self._sweep_solve:
+            from pastix_tpu.numeric.factorize import build_diag_inverse_fn
+
+            self._dinv_fn = build_diag_inverse_fn(
+                self.layout, cfg.factorization, hermitian=self._hermitian
+            )
+            self._solve_fn_inv = solve_mod.build_solve_fn_sweep(
+                self.layout, cfg.factorization, hermitian=self._hermitian,
+            )
+        elif cfg.fast_solve and self._mesh is None \
+                and self._ooc_plan is None and fits_fast:
             from pastix_tpu.numeric.factorize import build_diag_inverse_fn
 
             self._dinv_fn = build_diag_inverse_fn(
@@ -835,6 +870,7 @@ class Pastix:
         else:
             self._dinv_fn = self._solve_fn_inv = None
         self._devref_fn = None
+        self._devstep_fns = None
         self._sharded_refine_fn = None
         if (
             self._mesh is not None
@@ -858,22 +894,54 @@ class Pastix:
         elif (
             cfg.device_refine
             and cfg.fast_solve
-            and fits_fast
+            and (fits_fast or self._sweep_solve)
             and self._mesh is None
             and self._ooc_plan is None
             and cfg.refinement != RefinementMethod.NONE
             and not np.issubdtype(np.dtype(cfg.compute_dtype), np.complexfloating)
+            # the fused while_loop program wedges the remote TPU compiler
+            # beyond ~flagship scale (>=20 min, round-5 measurement; round
+            # 3/4 saw HTTP 500s) — above the gate the solve() path uses
+            # the split sweep solve + host fp64 refinement instead
+            and (
+                _jx_backend.default_backend() == "cpu"
+                or self.layout.nbc
+                <= int(os.environ.get("PASTIX_DEVREF_MAX_NBC", "4096"))
+            )
         ):
             # fused device solve + Krylov refinement (krylov.py): the whole
             # refinement loop — Richardson, CG, BiCGStab or GMRES(m) — runs
             # in one device program with the factored solve as inlined
-            # preconditioner (reference raff.c method dispatch, SURVEY §3.5)
+            # preconditioner (reference raff.c method dispatch, SURVEY §3.5).
+            # With the sweep kernel the solve is two pallas calls and the
+            # residual SpMV is ELL (gather-based) — the program is small
+            # enough for the remote compiler at the 1M flagship, where the
+            # old level-sweep + COO-scatter version crashed it.
             from pastix_tpu.krylov import build_device_refine_fn
 
+            self._devref_amat = "ell" if self._sweep_solve else "coo"
             self._devref_fn = build_device_refine_fn(
                 self.layout, cfg.factorization, method=cfg.refinement,
                 hermitian=self._hermitian, dense_tail=self._dense_tail,
-                restart=cfg.gmres_restart,
+                restart=cfg.gmres_restart, use_sweep=self._sweep_solve,
+                amat_format=self._devref_amat,
+            )
+        elif (
+            cfg.device_refine
+            and self._sweep_solve
+            and cfg.refinement != RefinementMethod.NONE
+        ):
+            # beyond the fused-program gate: per-iteration device STEP
+            # program (krylov.build_device_refine_step_fn) — x and b stay
+            # device-resident; per-iteration host traffic is one scalar.
+            # The host fp64 loop finishes the descent from the fp32 floor.
+            from pastix_tpu.krylov import build_device_refine_step_fn
+
+            self._devref_amat = "ell"
+            self._devstep_fns = build_device_refine_step_fn(
+                self.layout, cfg.factorization,
+                hermitian=self._hermitian, use_sweep=True,
+                amat_format="ell",
             )
         self.report.analyze_time = time.perf_counter() - t0
         self._trace_phase("analyze", t0)
@@ -968,17 +1036,43 @@ class Pastix:
                 self._dinv_fn = None
                 self._solve_fn_inv = None
                 self._devref_fn = None
-        if self._devref_fn is not None and not cfg.ooc:
-            # device-resident COO of A for the fused solve+refine SpMV
+                self._devstep_fns = None
+        if (
+            self._devref_fn is not None
+            or getattr(self, "_devstep_fns", None) is not None
+        ) and not cfg.ooc:
+            # device-resident A for the fused solve+refine SpMV
             import jax.numpy as jnp
             import scipy.sparse as _sp
 
             Ac = _sp.coo_matrix(self._A_perm)
-            self._a_coo_dev = (
-                jnp.asarray(Ac.row.astype(np.int32)),
-                jnp.asarray(Ac.col.astype(np.int32)),
-                jnp.asarray(Ac.data.astype(dtype)),
-            )
+            if getattr(self, "_devref_amat", "coo") == "ell":
+                from pastix_tpu.krylov import build_ell, df_split
+
+                if getattr(self, "_devstep_fns", None) is not None:
+                    # two-float ELL values for the compensated residual
+                    cols, vals = build_ell(
+                        Ac, self.layout.nbc * self.layout.T, np.float64
+                    )
+                    vh, vl = df_split(vals)
+                    self._a_coo_dev = (
+                        jnp.asarray(cols), jnp.asarray(vh),
+                        jnp.asarray(vl),
+                    )
+                else:
+                    cols, vals = build_ell(
+                        Ac, self.layout.nbc * self.layout.T, dtype
+                    )
+                    self._a_coo_dev = (
+                        jnp.asarray(cols), jnp.asarray(vals),
+                        jnp.zeros((0,), dtype),
+                    )
+            else:
+                self._a_coo_dev = (
+                    jnp.asarray(Ac.row.astype(np.int32)),
+                    jnp.asarray(Ac.col.astype(np.int32)),
+                    jnp.asarray(Ac.data.astype(dtype)),
+                )
         elif self._sharded_refine_fn is not None and not cfg.ooc:
             # COO padded to a tp multiple for the sharded residual SpMV
             import jax.numpy as jnp
@@ -1380,6 +1474,57 @@ class Pastix:
             out = out[:, 0]
         return out, int(it)
 
+    def _device_step_refined(self, b_ext: np.ndarray):
+        """Host-orchestrated device Richardson with two-float residual
+        arithmetic (krylov.build_device_refine_step_fn): x and b stay
+        device-resident as (hi, lo) fp32 pairs, each iteration is one
+        small program dispatch returning one scalar, and the compensated
+        SpMV reaches fp64-grade residuals — the whole descent to
+        refinement_eps runs on device.  Returns (x_ext, iters); the
+        caller verifies the true fp64 residual once."""
+        import jax.numpy as jnp
+        from pastix_tpu.krylov import df_split
+
+        cfg = self.config
+        lay = self.layout
+        b1d = np.asarray(b_ext).ndim == 1
+        bcol = np.asarray(b_ext, np.float64)
+        if b1d:
+            bcol = bcol[:, None]
+        # flat padded two-float RHS (+ the fp32 block RHS for x0)
+        nflat = lay.nbc * lay.T
+        bpad = np.zeros((nflat, bcol.shape[1]), np.float64)
+        bpad[: bcol.shape[0]] = bcol
+        bh_np, bl_np = df_split(bpad[:, 0])
+        bh = jnp.asarray(bh_np)
+        bl = jnp.asarray(bl_np)
+        bb = jnp.asarray(
+            bh_np.reshape(lay.nbc, lay.T, 1)
+        )
+        cols, vh, vl = self._a_coo_dev
+        f = self.factors
+        if cfg.factorization == Factorization.LLT:
+            fa = (f.pool, f.dinv)
+        elif cfg.factorization in (Factorization.LDLT, Factorization.LDLH):
+            fa = (f.pool, f.dinv, f.d)
+        else:
+            fa = (f.pool, f.pool_u, f.dinv, f.dinv_u)
+        init, step = self._devstep_fns
+        eps2 = float(cfg.refinement_eps) ** 2 * max(
+            float(np.sum(bpad[:, 0] ** 2)), 1e-300
+        )
+        xh, xl = init(fa, bb)
+        it, prev = 0, np.inf
+        for it in range(1, min(cfg.refinement_itermax, 60) + 1):
+            xh, xl, r2 = step(fa, cols, vh, vl, bh, bl, xh, xl)
+            r2 = float(r2)
+            if r2 <= eps2 or not (r2 < 0.25 * prev) or not np.isfinite(r2):
+                break
+            prev = r2
+        x64 = np.asarray(xh, np.float64) + np.asarray(xl, np.float64)
+        out = x64[: np.asarray(b_ext).shape[0]]
+        return (out if b1d else out[:, None]), it
+
     def _sharded_solve_refined(self, b_ext: np.ndarray):
         """Multi-device fused solve + Richardson (sharded SpMV psum)."""
         import jax.numpy as jnp
@@ -1429,12 +1574,24 @@ class Pastix:
             and not getattr(self.factors, "_offloaded", False)
             and do_refine
         )
-        if use_devref or use_sharded_ref:
+        use_devstep = (
+            not use_devref
+            and not use_sharded_ref
+            and getattr(self, "_devstep_fns", None) is not None
+            and self._a_coo_dev is not None
+            and self.factors.dinv is not None
+            and not getattr(self.factors, "_offloaded", False)
+            and do_refine
+            and nrhs == 1
+        )
+        if use_devref or use_sharded_ref or use_devstep:
             try:
                 x_ext, dev_iters = (
                     self._device_solve_refined(b_ext)
                     if use_devref
                     else self._sharded_solve_refined(b_ext)
+                    if use_sharded_ref
+                    else self._device_step_refined(b_ext)
                 )
             except _PLATFORM_ERRORS as e:  # pragma: no cover - platform-specific
                 self.report.fallbacks.append("fused-refine")
@@ -1450,9 +1607,10 @@ class Pastix:
                         "host refinement"
                     )
                 self._devref_fn = None
+                self._devstep_fns = None
                 self._sharded_refine_fn = None
-                use_devref = use_sharded_ref = False
-        if use_devref or use_sharded_ref:
+                use_devref = use_sharded_ref = use_devstep = False
+        if use_devref or use_sharded_ref or use_devstep:
             # converged on device (to the fp32 floor or better)? check the
             # true fp64 residual; the host loop below finishes if needed
             r = b_ext - self._A_perm64 @ x_ext

@@ -346,6 +346,9 @@ def test_full_lu_stream_path(monkeypatch):
     monkeypatch.setenv("PASTIX_E2_STREAM", "1")
     monkeypatch.setattr(F, "_PANEL_CHUNK", 7)
     monkeypatch.setattr(PK, "_INTERPRET", True)
+    import pastix_tpu.numeric.leftlook as LLmod
+
+    monkeypatch.setattr(LLmod, "_INTERPRET", True)
 
     A = random_unsym(220, density=0.03, seed=5)
     o = compute_ordering(A.pattern_sym_scipy(), PastixConfig())
