@@ -23,11 +23,11 @@ from pastix_tpu.generators import (
     laplacian_2d, poisson_3d, convection_diffusion_3d)
 
 
-def block_ilu(A, k, T=16, kind=None):
+def block_ilu(A, k, T=16, kind=None, grain="block"):
     from pastix_tpu.config import Factorization
 
     cfg = PastixConfig(
-        tile_size=T, incomplete=True, level_of_fill=k,
+        tile_size=T, incomplete=True, level_of_fill=k, ilu_grain=grain,
         refinement_itermax=500, refinement_eps=1e-10,
         factorization=kind or Factorization.LLT,
     )
@@ -36,7 +36,10 @@ def block_ilu(A, k, T=16, kind=None):
     t0 = time.time()
     x = s.solve(b)
     res = np.linalg.norm(b - A.to_scipy() @ x) / np.linalg.norm(b)
-    mem = s.layout.npool * T * T
+    mem = (
+        s.report.memory_terms if grain == "scalar"
+        else s.layout.npool * T * T
+    )
     return dict(iters=s.report.refine_iters, mem=mem, res=res,
                 t=time.time() - t0)
 
@@ -76,6 +79,13 @@ for name, A, kind in mats:
                   f"mem={r['mem']:>9} terms  res={r['res']:.1e}", flush=True)
         except Exception as e:
             print(f"  block-ILU({k}): failed ({str(e)[:80]})")
+    for k in (0, 1, 2):
+        try:
+            r = block_ilu(A, k, kind=kind, grain="scalar")
+            print(f"  scalar-ILU({k}):     iters={r['iters']:>4} "
+                  f"mem={r['mem']:>9} terms  res={r['res']:.1e}", flush=True)
+        except Exception as e:
+            print(f"  scalar-ILU({k}): failed ({str(e)[:80]})")
     for ff, dt in [(3, 1e-3), (10, 1e-4), (20, 1e-5)]:
         r = scipy_ilu(A, ff, dt)
         print(f"  spilu ff={ff} dt={dt:g}: iters={r['iters']:>4} "

@@ -173,6 +173,11 @@ class PastixConfig:
     # --- incomplete factorization (ILU(k) preconditioner mode) ---
     incomplete: bool = False  # IPARM_INCOMPLETE
     level_of_fill: int = 1  # IPARM_LEVEL_OF_FILL
+    ilu_grain: str = "block"  # fill granularity of the ILU(k) pattern:
+    # "block"  — tile-quotient levels (T-wide block fill; the device path);
+    # "scalar" — exact scalar levels + host IKJ numeric (the reference's
+    #            kass SF_level.c grain; ~3-4x less factor memory, applied
+    #            on the host — analyze/scalar_ilu.py)
 
     # --- tracing (TRACE_SOPALIN analog) ---
     trace: bool = False  # collect phase spans; dump with Pastix.dump_trace()
@@ -221,6 +226,8 @@ class PastixConfig:
             raise ValueError("tile_size must be >= 1")
         if self.dof_nbr < 1:
             raise ValueError("dof_nbr must be >= 1")
+        if self.ilu_grain not in ("block", "scalar"):
+            raise ValueError("ilu_grain must be 'block' or 'scalar'")
         if self.incomplete and self.refinement == RefinementMethod.SIMPLE:
             # ILU(k) factors are approximate: Richardson may stall, a Krylov
             # method is the intended consumer (reference pairs IPARM_INCOMPLETE

@@ -373,6 +373,11 @@ class Pastix:
         cfg = self.config
         if self.symbol_ is None:
             self.symbfact()
+        if cfg.incomplete and cfg.ilu_grain == "scalar":
+            # host-grain ILU(k): no tile layout and no device programs —
+            # the scalar pattern is computed lazily in factorize()
+            # (_factorize_scalar_ilu); nothing to analyze here
+            return None
         t0 = time.perf_counter()
         # streaming OOC (reference ooc.c: page DURING factorization under
         # IPARM_OOC_LIMIT): level-segmented windows + host extend-add.
@@ -987,7 +992,11 @@ class Pastix:
         """Factorize; pass ``values`` (same pattern, new numbers) to reuse
         the cached analysis — the reference's step-by-step workflow."""
         cfg = self.config
-        if self.layout is None:
+        scalar_ilu = cfg.incomplete and cfg.ilu_grain == "scalar"
+        if scalar_ilu:
+            if self.symbol_ is None:
+                self.symbfact()
+        elif self.layout is None:
             self.analyze()
         if values is not None:
             if values.shape[0] != self.A.nnz:
@@ -999,6 +1008,8 @@ class Pastix:
             self._A_perm = None
             self._build_extended_matrix_values_only()
         t0 = time.perf_counter()
+        if scalar_ilu:
+            return self._factorize_scalar_ilu(t0)
         dtype = np.dtype(cfg.compute_dtype).type
         if self._ooc_plan is not None:
             return self._factorize_streamed(dtype, t0)
@@ -1118,6 +1129,52 @@ class Pastix:
                 f"[pastix-tpu] numfact: {self.report.fact_time:.3f}s "
                 f"({self.report.fact_gflops:.2f} GFLOP/s useful, "
                 f"pivots clamped: {self.report.static_pivots}{pred})"
+            )
+        return self.factors
+
+    def _factorize_scalar_ilu(self, t0):
+        """Scalar-grain ILU(k) on the host (reference kass SF_level.c +
+        sequential sopalin ILU mode — SURVEY.md §2 row 5).
+
+        No tile layout and no device programs: the preconditioner's
+        triangular applies are irregular latency-bound work the host does
+        best (CLAUDE.md: ~65 ns/row device scatter wall).  The factors
+        duck-type ``Factors`` so solve()/refinement/as_preconditioner run
+        unchanged through the host Krylov loop."""
+        cfg = self.config
+        from pastix_tpu.analyze.scalar_ilu import (
+            scalar_ilu_factor, scalar_ilu_pattern)
+
+        if getattr(self, "_scalar_ilu_pat", None) is None:
+            self._scalar_ilu_pat = scalar_ilu_pattern(
+                self._pat_perm_ext, cfg.level_of_fill
+            )
+            self.report.analyze_time = time.perf_counter() - t0
+            t0 = time.perf_counter()
+        lr, lc = self._scalar_ilu_pat
+        anorm = float(abs(self._A_perm).max())
+        self.factors = scalar_ilu_factor(
+            self._A_perm64.tocsc(), lr, lc,
+            cfg.static_pivoting_threshold * anorm,
+        )
+        self.report.fact_time = time.perf_counter() - t0
+        self.report.static_pivots = self.factors.static_pivots
+        self.report.memory_terms = self.factors.nnz_terms
+        self.report.nnz_l = int(self.factors.L.nnz)
+        # host-only mode: make sure no device solve/refine path engages
+        self._devref_fn = None
+        self._devstep_fns = None
+        self._sharded_refine_fn = None
+        self._a_coo_dev = None
+        self._pool_sharding = None
+        self._ooc_plan = None
+        self._trace_phase("factorize", t0)
+        if cfg.verbosity >= Verbosity.NO:
+            print(
+                f"[pastix-tpu] scalar ILU({cfg.level_of_fill}): "
+                f"{self.factors.nnz_terms} terms, "
+                f"{self.report.fact_time:.3f}s "
+                f"(pivots clamped: {self.report.static_pivots})"
             )
         return self.factors
 
@@ -1413,6 +1470,10 @@ class Pastix:
 
     def _raw_solve_ext(self, b_ext: np.ndarray) -> np.ndarray:
         """Factored solve in extended-permuted order (no refinement)."""
+        from pastix_tpu.analyze.scalar_ilu import ScalarILUFactors
+
+        if isinstance(self.factors, ScalarILUFactors):
+            return self.factors.solve(b_ext)
         if getattr(self.factors, "_streamed", False):
             from pastix_tpu.numeric.ooc import solve_ooc
 
