@@ -511,6 +511,7 @@ def build_device_refine_step_fn(
     hermitian: Optional[bool] = None,
     use_sweep: bool = True,
     amat_format: str = "ell",
+    unroll: int = 1,
 ):
     """One Richardson refinement step as a SMALL device program, with
     double-single residual arithmetic.
@@ -575,13 +576,22 @@ def build_device_refine_step_fn(
         return xh, jnp.zeros_like(xh)
 
     def step(fa, cols, vh, vl, bh, bl, xh, xl):
+        # ``unroll`` Richardson steps per dispatch: on the remote-TPU
+        # tunnel each dispatch+scalar-sync costs hundreds of ms against
+        # ~100 ms of device work, so batching steps into one program
+        # divides the host round-trips (the fixed static unroll keeps the
+        # program small — the while_loop form wedges the remote compiler
+        # at flagship scale).  The convergence residual is computed ONCE
+        # after the chain (not per inner step: intermediate ||r|| values
+        # are never consumed).
         Ltail = prep(fa)
-        r = residual_df(cols, vh, vl, bh, bl, xh, xl)
-        z = apply_M(fa, Ltail, r)
-        # two-float accumulate x += z, then renormalize
-        sh, e = _two_sum(xh, z)
-        xl2 = xl + e
-        xh, xl = _two_sum(sh, xl2)
+        for _ in range(max(1, unroll)):
+            r = residual_df(cols, vh, vl, bh, bl, xh, xl)
+            z = apply_M(fa, Ltail, r)
+            # two-float accumulate x += z, then renormalize
+            sh, e = _two_sum(xh, z)
+            xl2 = xl + e
+            xh, xl = _two_sum(sh, xl2)
         r = residual_df(cols, vh, vl, bh, bl, xh, xl)
         r2 = jnp.sum(r * r)
         return xh, xl, r2

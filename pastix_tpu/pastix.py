@@ -267,7 +267,12 @@ class Pastix:
             from pastix_tpu.symbolic import SymbolMatrix
 
             self.symbol_ = SymbolMatrix.load(os.path.join(cfg.io_dir, "symbname"))
-            self._scalar_info = {"nnz_l_exact": self.symbol_.nnz_l(), "flops_exact": self.symbol_.fact_flops()}
+            self._scalar_info = {
+                "nnz_l_exact": self.symbol_.nnz_l(),
+                "flops_exact": self.symbol_.fact_flops(
+                    "lu" if cfg.factorization == Factorization.LU else "llt"
+                ),
+            }
         else:
             self.symbol_, self._scalar_info = compute_symbolic(pat_perm, self.order_, cfg)
             if cfg.io_strategy == IOStrategy.SAVE:
@@ -276,6 +281,17 @@ class Pastix:
         self._trace_phase("symbfact", t0)
         self.report.nnz_l_exact = int(self._scalar_info["nnz_l_exact"])
         self.report.fact_flops = float(self._scalar_info["flops_exact"])
+        if (
+            cfg.factorization == Factorization.LU
+            and "parent" in self._scalar_info
+        ):
+            # DPARM_FACT_FLOPS convention: GETRF computes BOTH triangles
+            # (2x the Cholesky count of the same symmetrized symbol).
+            # The scalar cost model (compute_symbolic) counts the
+            # Cholesky convention; SymbolMatrix.fact_flops("lu") already
+            # doubles — keep the two sites consistent.  Until round 5 the
+            # LU rung's useful GF/s was understated 2x (BASELINE §4g).
+            self.report.fact_flops *= 2.0
         self.report.fill_ratio = self.report.nnz_l_exact / max(1, self.A.nnz)
         if cfg.verbosity >= Verbosity.YES:
             print(
@@ -909,7 +925,14 @@ class Pastix:
             # 3/4 saw HTTP 500s) — above the gate the solve() path uses
             # the split sweep solve + host fp64 refinement instead
             and (
-                _jx_backend.default_backend() == "cpu"
+                (
+                    _jx_backend.default_backend() == "cpu"
+                    # 0 disables fused even on CPU (tests exercise the
+                    # per-dispatch STEP path the TPU flagship runs)
+                    and int(
+                        os.environ.get("PASTIX_DEVREF_MAX_NBC", "4096")
+                    ) != 0
+                )
                 or self.layout.nbc
                 <= int(os.environ.get("PASTIX_DEVREF_MAX_NBC", "4096"))
             )
@@ -943,10 +966,19 @@ class Pastix:
             from pastix_tpu.krylov import build_device_refine_step_fn
 
             self._devref_amat = "ell"
+            # steps per dispatch (exp_step.py): unroll=3 costs 3.4x a
+            # single dispatch at the flagship — the ~390 ms/step is
+            # per-step device work, NOT tunnel overhead, so batching
+            # steps buys nothing and coarsens the convergence check.
+            # Default 1; the knob stays for re-testing once the per-step
+            # cost (exp_step2.py split) comes down.
+            self._devstep_unroll = max(1, int(
+                os.environ.get("PASTIX_DEVSTEP_UNROLL", "1")
+            ))
             self._devstep_fns = build_device_refine_step_fn(
                 self.layout, cfg.factorization,
                 hermitian=self._hermitian, use_sweep=True,
-                amat_format="ell",
+                amat_format="ell", unroll=self._devstep_unroll,
             )
         self.report.analyze_time = time.perf_counter() - t0
         self._trace_phase("analyze", t0)
@@ -1575,9 +1607,15 @@ class Pastix:
             float(np.sum(bpad[:, 0] ** 2)), 1e-300
         )
         xh, xl = init(fa, bb)
+        u = max(1, getattr(self, "_devstep_unroll", 1))
         it, prev = 0, np.inf
-        for it in range(1, min(cfg.refinement_itermax, 60) + 1):
+        while it < min(cfg.refinement_itermax, 60):
+            # one dispatch = ``u`` chained Richardson steps, one scalar
+            # down; the stall check keeps the single-step 0.25 factor
+            # (laxer than the converging (0.25)^u — it only needs to
+            # catch divergence/stagnation)
             xh, xl, r2 = step(fa, cols, vh, vl, bh, bl, xh, xl)
+            it += u
             r2 = float(r2)
             if r2 <= eps2 or not (r2 < 0.25 * prev) or not np.isfinite(r2):
                 break

@@ -156,10 +156,13 @@ def test_two_float_primitives_are_exact():
     ).max() < 1e-10 * np.abs(a64).max()
 
 
-def test_device_step_refine_reaches_fp64_grade():
+@pytest.mark.parametrize("unroll", [1, 3])
+def test_device_step_refine_reaches_fp64_grade(unroll):
     """The two-float step refine descends to ~1e-13 relative residual —
     fp64-grade accuracy with fp32-only device arithmetic (SURVEY §7
-    hard-part 4; reference raff.c refines in double)."""
+    hard-part 4; reference raff.c refines in double).  unroll=3 chains
+    three Richardson steps per dispatch (the tunnel round-trip
+    amortization the TPU flagship runs) — same fixed point."""
     from pastix_tpu.krylov import (
         build_device_refine_step_fn, build_ell, df_split,
     )
@@ -168,7 +171,9 @@ def test_device_step_refine_reaches_fp64_grade():
     s = _solver(Factorization.LLT)
     lay, f = s.layout, s.factors
     dinv = build_diag_inverse_fn(lay, Factorization.LLT)(f.pool)
-    init, step = build_device_refine_step_fn(lay, Factorization.LLT)
+    init, step = build_device_refine_step_fn(
+        lay, Factorization.LLT, unroll=unroll
+    )
     nflat = lay.nbc * lay.T
     cols, vals = build_ell(sp.coo_matrix(s._A_perm), nflat, np.float64)
     vh, vl = df_split(vals)
