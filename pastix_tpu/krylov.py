@@ -552,10 +552,16 @@ def build_device_refine_step_fn(
     def residual_df(cols, vh, vl, bh, bl, xh, xl):
         """r ≈ b - A x to ~fp64 accuracy, returned as one fp32 array
         (the residual is SMALL, so single storage keeps full relative
-        accuracy — the whole point of iterative refinement)."""
+        accuracy — the whole point of iterative refinement).
+
+        The ELL gather is the step's dominant cost on TPU (~12 ns per
+        gathered element, exp_step2.py): gather the (hi, lo) pair
+        JOINTLY — one gather of 2-element slices costs about one
+        per-row visit, not two."""
         k = cols.shape[1]
-        Xh = xh[cols]  # (nflat, k)
-        Xl = xl[cols]
+        X2 = jnp.stack([xh, xl], axis=-1)[cols]  # (nflat, k, 2)
+        Xh = X2[..., 0]
+        Xl = X2[..., 1]
         p, e = _two_prod(vh, Xh)
         e = e + vh * Xl + vl * Xh
         sh = p[:, 0]
@@ -576,24 +582,28 @@ def build_device_refine_step_fn(
         return xh, jnp.zeros_like(xh)
 
     def step(fa, cols, vh, vl, bh, bl, xh, xl):
-        # ``unroll`` Richardson steps per dispatch: on the remote-TPU
-        # tunnel each dispatch+scalar-sync costs hundreds of ms against
-        # ~100 ms of device work, so batching steps into one program
-        # divides the host round-trips (the fixed static unroll keeps the
-        # program small — the while_loop form wedges the remote compiler
-        # at flagship scale).  The convergence residual is computed ONCE
-        # after the chain (not per inner step: intermediate ||r|| values
-        # are never consumed).
+        # ONE residual per step (exp_step2.py: the compensated ELL
+        # residual is ~3x the sweep solve's cost, and computing it both
+        # before the correction and again for the convergence check
+        # doubled it): the returned r2 is the norm of the residual the
+        # correction was computed FROM — a one-step-lagged convergence
+        # check.  The driver stops one correction later than an exact
+        # check would, which only makes the final x better; the caller
+        # verifies the true fp64 residual once at the end anyway.
+        # ``unroll`` chains k such steps per dispatch (measured a null
+        # at the flagship — kept for re-testing as the per-step cost
+        # drops).
         Ltail = prep(fa)
+        r2 = None
         for _ in range(max(1, unroll)):
             r = residual_df(cols, vh, vl, bh, bl, xh, xl)
+            if r2 is None:
+                r2 = jnp.sum(r * r)
             z = apply_M(fa, Ltail, r)
             # two-float accumulate x += z, then renormalize
             sh, e = _two_sum(xh, z)
             xl2 = xl + e
             xh, xl = _two_sum(sh, xl2)
-        r = residual_df(cols, vh, vl, bh, bl, xh, xl)
-        r2 = jnp.sum(r * r)
         return xh, xl, r2
 
     return jax.jit(init), jax.jit(step)
