@@ -7,6 +7,11 @@
   python exp_hw.py convdiff [nx=70]     3D convection-diffusion LU with
                                         static pivoting, n = nx^3
                                         (nx=70 -> 343k, nonsymmetric)
+  python exp_hw.py irregular [npts=150000]
+                                        unstructured graded FEM graph
+                                        (audikw_1/Fault_639 stand-in,
+                                        generators.irregular_fem_3d),
+                                        n = 3*npts, LL^T
 
 Prints steady-state factorization GFLOP/s, nnz(L)/s, pivot count and the
 refined residual; results are recorded in BASELINE.md section 4e.
@@ -48,6 +53,17 @@ def main():
     if which == "elasticity":
         A = elasticity_3d(nx)
         cfg = PastixConfig(tile_size=128, update_dtype="bfloat16")
+        kind = "LLT"
+    elif which == "irregular":
+        from pastix_tpu.generators import irregular_fem_3d
+
+        npts = nx if nx > 1000 else 150000  # second arg is npts here
+        t0 = time.perf_counter()
+        A = irregular_fem_3d(npts, dof_nbr=3, seed=7)
+        log(f"generated irregular FEM graph in {time.perf_counter()-t0:.1f}s")
+        cfg = PastixConfig(
+            tile_size=128, update_dtype="bfloat16", dof_nbr=3
+        )
         kind = "LLT"
     else:
         A = convection_diffusion_3d(nx)

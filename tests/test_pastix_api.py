@@ -213,3 +213,20 @@ def test_io_strategy_saves_layout_artifact(tmp_path):
     x2 = s2.solve(b)
     assert np.abs(x2 - 1).max() < 1e-8
     np.testing.assert_allclose(x2, x1, rtol=1e-6, atol=1e-9)
+
+
+def test_lu_fact_flops_getrf_convention():
+    """DPARM_FACT_FLOPS for LU counts BOTH triangles: exactly 2x the
+    Cholesky count of the same (symmetrized) pattern.  Regression for
+    the round-5 correction — through round 4 the LU report used the
+    Cholesky count and understated useful GF/s 2x (BASELINE 4g)."""
+    from pastix_tpu.config import Factorization
+    from pastix_tpu.generators import poisson_3d
+
+    A = poisson_3d(10)
+    b = A.to_scipy() @ np.ones(A.n)
+    s_llt = Pastix(A, PastixConfig())
+    s_llt.symbfact()
+    s_lu = Pastix(A, PastixConfig(factorization=Factorization.LU))
+    s_lu.symbfact()
+    assert s_lu.report.fact_flops == 2 * s_llt.report.fact_flops
